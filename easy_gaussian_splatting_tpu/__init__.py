@@ -1,0 +1,16 @@
+"""easy_gaussian_splatting_tpu — a TPU-native 3D Gaussian Splatting framework.
+
+A from-scratch JAX / XLA / Pallas re-design of the capabilities of the reference
+``li199603/easy_gaussian_splatting`` (CUDA/torch/gsplat), built TPU-first:
+
+- the differentiable rasterizer (gsplat's CUDA kernels in the reference,
+  ``/root/reference/model/gaussian.py:8,353-367``) is implemented as a pure-JAX
+  oracle renderer plus tiled Pallas TPU kernels with a hand-derived VJP;
+- the training loop, densify/split/clone/prune engine, losses and metrics are
+  pure functions over pytrees under ``jit`` with static shapes
+  (fixed-capacity Gaussian buffers + alive masks);
+- multi-chip scaling uses ``jax.sharding.Mesh`` + ``shard_map`` with XLA
+  collectives instead of any NCCL-style backend.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,276 @@
+"""Oracle renderer: depth-ordered alpha compositing of projected Gaussians.
+
+This is a pure-JAX, O(N * P) implementation of stages (4)-(6) of the pipeline
+the reference delegates to gsplat's CUDA kernels (contract at
+``/root/reference/model/gaussian.py:353-374``):
+
+- front-to-back compositing ``C = sum_i c_i * a_i * T_i``,
+  ``T_{i+1} = T_i * (1 - a_i)`` with the standard early-stop rule
+  (a Gaussian that would push transmittance below 1e-4 is skipped and the
+  pixel terminates), then background blend;
+- a hand-derived backward pass that walks the list back-to-front, including
+  the **absgrad** side-channel: per-Gaussian accumulated *absolute* 2D-mean
+  gradients summed per pixel before reduction, which densification reads
+  (``/root/reference/model/gaussian.py:188-197``).
+
+It is exact (no tiling approximations) and differentiable, so it serves as
+the numerical oracle for the tiled Pallas kernels, and as a CPU-runnable
+renderer for tests and toy scenes. Compositing is vectorized as an ordered
+scan over depth-sorted Gaussian chunks; per-chunk sequencing uses exclusive
+cumulative products, which XLA maps onto the VPU, and the color accumulation
+is an [P, c] x [c, 3] matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+ALPHA_CLAMP = 0.999
+ALPHA_THRESH = 1.0 / 255.0
+T_EPS = 1e-4
+
+
+def _pixel_centers(height: int, width: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flattened pixel-center coordinates, matching the +0.5 center convention
+    of the reference rasterizer."""
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    pxg, pyg = jnp.meshgrid(px, py, indexing="xy")  # [H, W]
+    return pxg.reshape(-1), pyg.reshape(-1)  # [P], [P]
+
+
+def _alpha_terms(m2d, conics, opac, px, py):
+    """Per-(gaussian, pixel) alpha evaluation.
+
+    Returns (alpha, elig, G, dx, dy): all [c, P]; ``alpha`` is clamped and
+    zeroed where ineligible, ``G = exp(-sigma)`` (unclamped), dx/dy the
+    pixel->mean deltas used by the backward pass.
+    """
+    dx = m2d[:, 0:1] - px[None, :]  # [c, P]
+    dy = m2d[:, 1:2] - py[None, :]
+    a = conics[:, 0:1]
+    b = conics[:, 1:2]
+    c = conics[:, 2:3]
+    sigma = 0.5 * (a * dx * dx + c * dy * dy) + b * dx * dy
+    G = jnp.exp(-sigma)
+    alpha_raw = opac[:, None] * G
+    alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
+    elig = (sigma >= 0.0) & (alpha >= ALPHA_THRESH)
+    alpha = jnp.where(elig, alpha, 0.0)
+    return alpha, elig, G, dx, dy
+
+
+def _pad_to_chunks(x, n_pad):
+    pad_width = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad_width)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def rasterize_sorted(
+    means2d: jnp.ndarray,  # [N, 2] depth-sorted screen means (pixels)
+    conics: jnp.ndarray,  # [N, 3] depth-sorted conics (a, b, c)
+    colors: jnp.ndarray,  # [N, 3] depth-sorted RGB
+    opacities: jnp.ndarray,  # [N] depth-sorted; 0 for culled/invalid
+    absgrad_dummy: jnp.ndarray,  # [N, 2] zeros; its cotangent is absgrad
+    height: int,
+    width: int,
+    chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Composite depth-sorted 2D Gaussians. Returns (image [H,W,3], final
+    transmittance [H,W])."""
+    img, final_t, _ = _forward(
+        means2d, conics, colors, opacities, height, width, chunk
+    )
+    return img, final_t
+
+
+def _forward(means2d, conics, colors, opacities, height, width, chunk):
+    n = means2d.shape[0]
+    n_chunks = max(1, -(-n // chunk))
+    n_pad = n_chunks * chunk - n
+    px, py = _pixel_centers(height, width)
+    p = px.shape[0]
+
+    m2d = _pad_to_chunks(means2d, n_pad).reshape(n_chunks, chunk, 2)
+    con = _pad_to_chunks(conics, n_pad).reshape(n_chunks, chunk, 3)
+    col = _pad_to_chunks(colors, n_pad).reshape(n_chunks, chunk, 3)
+    opa = _pad_to_chunks(opacities, n_pad).reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        t_in, done, accum, last = carry
+        m2d_c, con_c, col_c, opa_c, k = xs
+        alpha, elig, _, _, _ = _alpha_terms(m2d_c, con_c, opa_c, px, py)
+        one_minus = 1.0 - alpha  # == 1 where ineligible
+        cum_incl = jnp.cumprod(one_minus, axis=0)
+        cum_excl = jnp.concatenate(
+            [jnp.ones((1, p), jnp.float32), cum_incl[:-1]], axis=0
+        )
+        t_g = t_in[None, :] * cum_excl  # [c, P] transmittance before g
+        stop = elig & (t_g * one_minus < T_EPS)
+        done_incl = jax.lax.cummax(stop.astype(jnp.int32), axis=0) > 0
+        done_incl = done_incl | done[None, :]
+        composite = elig & jnp.logical_not(done_incl)
+        w = jnp.where(composite, alpha * t_g, 0.0)  # [c, P]
+        accum = accum + jnp.einsum(
+            "cp,cd->pd", w, col_c, preferred_element_type=jnp.float32
+        )
+        om_eff = jnp.where(composite, one_minus, 1.0)
+        t_out = t_in * jnp.prod(om_eff, axis=0)
+        done_out = done | jnp.any(stop, axis=0)
+        pos = k * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        last_c = jnp.max(
+            jnp.where(composite, pos[:, None], jnp.int32(-1)), axis=0
+        )
+        last = jnp.maximum(last, last_c)
+        return (t_out, done_out, accum, last), None
+
+    init = (
+        jnp.ones((p,), jnp.float32),
+        jnp.zeros((p,), bool),
+        jnp.zeros((p, 3), jnp.float32),
+        jnp.full((p,), -1, jnp.int32),
+    )
+    ks = jnp.arange(n_chunks, dtype=jnp.int32)
+    (final_t, _, accum, last), _ = jax.lax.scan(
+        body, init, (m2d, con, col, opa, ks)
+    )
+    img = accum.reshape(height, width, 3)
+    return img, final_t.reshape(height, width), last
+
+
+def _fwd(means2d, conics, colors, opacities, absgrad_dummy, height, width, chunk):
+    img, final_t, last = _forward(
+        means2d, conics, colors, opacities, height, width, chunk
+    )
+    residuals = (means2d, conics, colors, opacities, final_t, last)
+    return (img, final_t), residuals
+
+
+def _bwd(height, width, chunk, residuals, cotangents):
+    means2d, conics, colors, opacities, final_t, last = residuals
+    g_img, g_t = cotangents
+    n = means2d.shape[0]
+    n_chunks = max(1, -(-n // chunk))
+    n_pad = n_chunks * chunk - n
+    px, py = _pixel_centers(height, width)
+    p = px.shape[0]
+
+    m2d = _pad_to_chunks(means2d, n_pad).reshape(n_chunks, chunk, 2)
+    con = _pad_to_chunks(conics, n_pad).reshape(n_chunks, chunk, 3)
+    col = _pad_to_chunks(colors, n_pad).reshape(n_chunks, chunk, 3)
+    opa = _pad_to_chunks(opacities, n_pad).reshape(n_chunks, chunk)
+
+    g_img_f = g_img.reshape(p, 3)
+    g_t_f = g_t.reshape(p)
+    t_fin = final_t.reshape(p)
+    last_f = last.reshape(p)
+
+    # S carries the suffix term: sum_{j>g} (g . c_j) w_j + (g . bg + g_T) T_fin.
+    # The background itself is composited by the caller (see `rasterize`), so
+    # here only the g_T path contributes the T_fin term.
+    s_init = g_t_f * t_fin
+
+    def body(carry, xs):
+        t_after, s_after = carry
+        m2d_c, con_c, col_c, opa_c, k = xs
+        alpha, elig, G, dx, dy = _alpha_terms(m2d_c, con_c, opa_c, px, py)
+        pos = k * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        composite = elig & (pos[:, None] <= last_f[None, :])
+        one_minus = jnp.where(composite, 1.0 - alpha, 1.0)
+        inv = 1.0 / one_minus
+        # T before g, recovered back-to-front: T_entry(g) = T_after_chunk *
+        # prod_{j>=g} inv_j  (reverse inclusive cumprod).
+        rc = jnp.cumprod(inv[::-1], axis=0)[::-1]
+        t_g = t_after[None, :] * rc
+        w = jnp.where(composite, alpha * t_g, 0.0)
+
+        dotc = jnp.einsum(
+            "cd,pd->cp", col_c, g_img_f, preferred_element_type=jnp.float32
+        )
+        dw = dotc * w  # [c, P]
+        # reverse exclusive cumsum: sum over j>g within chunk
+        rs = jnp.cumsum(dw[::-1], axis=0)[::-1] - dw
+        s_g = s_after[None, :] + rs
+
+        v_alpha = jnp.where(composite, dotc * t_g - s_g * inv, 0.0)
+        v_sigma = -G * opa_c[:, None] * v_alpha
+        v_opac = jnp.sum(G * v_alpha, axis=1)
+        v_color = jnp.einsum(
+            "cp,pd->cd", w, g_img_f, preferred_element_type=jnp.float32
+        )
+        a = con_c[:, 0:1]
+        b = con_c[:, 1:2]
+        c = con_c[:, 2:3]
+        v_conic = jnp.stack(
+            [
+                jnp.sum(v_sigma * 0.5 * dx * dx, axis=1),
+                jnp.sum(v_sigma * dx * dy, axis=1),
+                jnp.sum(v_sigma * 0.5 * dy * dy, axis=1),
+            ],
+            axis=-1,
+        )
+        gx = v_sigma * (a * dx + b * dy)
+        gy = v_sigma * (b * dx + c * dy)
+        v_m2d = jnp.stack([jnp.sum(gx, axis=1), jnp.sum(gy, axis=1)], axis=-1)
+        v_abs = jnp.stack(
+            [jnp.sum(jnp.abs(gx), axis=1), jnp.sum(jnp.abs(gy), axis=1)], axis=-1
+        )
+
+        t_before = t_after * rc[0]
+        s_before = s_after + jnp.sum(dw, axis=0)
+        return (t_before, s_before), (v_m2d, v_conic, v_color, v_opac, v_abs)
+
+    ks = jnp.arange(n_chunks, dtype=jnp.int32)
+    xs = (m2d[::-1], con[::-1], col[::-1], opa[::-1], ks[::-1])
+    _, ys = jax.lax.scan(body, (t_fin, s_init), xs)
+    v_m2d, v_conic, v_color, v_opac, v_abs = jax.tree.map(
+        lambda y: y[::-1].reshape((n_chunks * chunk,) + y.shape[2:])[:n], ys
+    )
+    return (v_m2d, v_conic, v_color, v_opac, v_abs)
+
+
+rasterize_sorted.defvjp(_fwd, _bwd)
+
+
+def rasterize_sorted_autodiff(
+    means2d, conics, colors, opacities, height, width, chunk=128
+):
+    """Same forward as `rasterize_sorted` but differentiated by JAX autodiff.
+    Used in tests to cross-check the hand-derived VJP."""
+    img, final_t, _ = _forward(
+        means2d, conics, colors, opacities, height, width, chunk
+    )
+    return img, final_t
+
+
+def rasterize(
+    means2d: jnp.ndarray,  # [N, 2]
+    conics: jnp.ndarray,  # [N, 3]
+    colors: jnp.ndarray,  # [N, 3]
+    opacities: jnp.ndarray,  # [N] (0 for culled)
+    depths: jnp.ndarray,  # [N]
+    background: jnp.ndarray,  # [3]
+    absgrad_dummy: jnp.ndarray,  # [N, 2] zeros
+    height: int,
+    width: int,
+    chunk: int = 128,
+):
+    """Depth-sort then composite; blends the background like the reference
+    (``C += T_final * bg``). Returns (image [H,W,3], alpha [H,W])."""
+    order = jnp.argsort(jnp.where(opacities > 0.0, depths, jnp.inf))
+    img, final_t = rasterize_sorted(
+        means2d[order],
+        conics[order],
+        colors[order],
+        opacities[order],
+        absgrad_dummy[order],
+        height,
+        width,
+        chunk,
+    )
+    img = img + final_t[..., None] * background[None, None, :]
+    return img, 1.0 - final_t

@@ -1,0 +1,104 @@
+"""Real spherical-harmonics color evaluation, degrees 0..3.
+
+Behavioral spec: the reference stores per-Gaussian SH coefficients
+(``sh_0 [N,1,3]`` + ``sh_rest [N,(K+1)^2-1,3]``, ``/root/reference/model/
+gaussian.py:44-50``) and the gsplat kernel evaluates them along the
+camera->Gaussian direction at the currently-active degree, adds 0.5 and
+clamps to >= 0. The DC conversion ``(rgb - 0.5) / C0`` is at
+``/root/reference/model/utils.py:14-16``.
+
+The constants are the standard real-SH basis constants used across the 3DGS
+ecosystem (public, from the original EG paper lineage).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+
+def num_sh_bases(degree: int) -> int:
+    return (degree + 1) ** 2
+
+
+def rgb_to_sh0(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB in [0,1] -> degree-0 SH coefficient."""
+    return (rgb - 0.5) / C0
+
+
+def sh0_to_rgb(sh0: jnp.ndarray) -> jnp.ndarray:
+    return sh0 * C0 + 0.5
+
+
+def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate SH colors.
+
+    Args:
+      degree: active degree (0..3); static under jit.
+      sh: [..., K, 3] coefficients with K >= (degree+1)^2.
+      dirs: [..., 3] unit view directions (Gaussian center - camera center).
+
+    Returns:
+      [..., 3] raw colors (caller adds 0.5 and clamps, matching the kernel
+      convention the reference relies on).
+    """
+    if degree < 0 or degree > 3:
+        raise ValueError(f"degree must be in [0, 3], got {degree}")
+    result = C0 * sh[..., 0, :]
+    if degree >= 1:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = (
+            result
+            - C1 * y * sh[..., 1, :]
+            + C1 * z * sh[..., 2, :]
+            - C1 * x * sh[..., 3, :]
+        )
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        result = (
+            result
+            + C2[0] * xy * sh[..., 4, :]
+            + C2[1] * yz * sh[..., 5, :]
+            + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
+            + C2[3] * xz * sh[..., 7, :]
+            + C2[4] * (xx - yy) * sh[..., 8, :]
+        )
+    if degree >= 3:
+        result = (
+            result
+            + C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
+            + C3[1] * xy * z * sh[..., 10, :]
+            + C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
+            + C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
+            + C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
+            + C3[5] * z * (xx - yy) * sh[..., 14, :]
+            + C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
+        )
+    return result
+
+
+def eval_sh_color(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """SH -> clamped RGB color, the exact post-processing the rasterizer
+    applies: ``max(eval + 0.5, 0)``."""
+    return jnp.maximum(eval_sh(degree, sh, dirs) + 0.5, 0.0)
