@@ -1,0 +1,78 @@
+"""Differentiable forward render of a Gaussian model for one camera.
+
+Behavioral spec: mirrors ``GaussianModel.forward`` (``/root/reference/model/
+gaussian.py:351-374``): activations (exp scales, sigmoid opacities, SH
+concat), a single rasterization call with the active SH degree and a
+background color, and a [0,1] clamp on the rendered image. The returned
+``radii`` and the absgrad cotangent channel feed ``update_statistics``
+(``/root/reference/model/gaussian.py:188-197``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.projection import CameraIntrinsics, project_gaussians
+from ..ops.rasterize_ref import rasterize
+from ..ops.sh import eval_sh_color
+from .gaussians import GaussianParams
+
+
+class CameraView(NamedTuple):
+    """One camera: world->camera transform + intrinsics. Width/height are
+    static Python ints (per-resolution jit specialization)."""
+
+    w2c: jnp.ndarray  # [4, 4]
+    K: jnp.ndarray  # [3, 3]
+    width: int
+    height: int
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray  # [H, W, 3] clamped to [0, 1]
+    alpha: jnp.ndarray  # [H, W]
+    radii: jnp.ndarray  # [C] screen radii in pixels, 0 => culled
+
+
+def render(
+    params: GaussianParams,
+    alive: jnp.ndarray,  # [C] bool
+    camera: CameraView,
+    sh_degree: int,
+    background: jnp.ndarray,  # [3]
+    absgrad_dummy: jnp.ndarray,  # [C, 2] zeros; cotangent = absgrad
+    chunk: int = 256,
+) -> RenderOutput:
+    scales = jnp.exp(params.log_scales)
+    opacities = jax.nn.sigmoid(params.logit_opacities) * alive.astype(jnp.float32)
+
+    intr = CameraIntrinsics.from_K(camera.K, camera.width, camera.height)
+    proj = project_gaussians(params.means, params.quats, scales, camera.w2c, intr)
+
+    # SH color along the camera->Gaussian direction
+    r_cw = camera.w2c[:3, :3]
+    t_cw = camera.w2c[:3, 3]
+    cam_pos = -r_cw.T @ t_cw
+    dirs = params.means - cam_pos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    shs = jnp.concatenate([params.sh_0, params.sh_rest], axis=1)
+    colors = eval_sh_color(sh_degree, shs, dirs)  # [C, 3]
+
+    opac_eff = opacities * (proj.radii > 0.0).astype(jnp.float32)
+    img, alpha = rasterize(
+        proj.means2d,
+        proj.conics,
+        colors,
+        opac_eff,
+        proj.depths,
+        background,
+        absgrad_dummy,
+        camera.height,
+        camera.width,
+        chunk,
+    )
+    img = jnp.clip(img, 0.0, 1.0)
+    return RenderOutput(image=img, alpha=alpha, radii=proj.radii)
