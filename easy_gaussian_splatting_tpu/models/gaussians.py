@@ -71,8 +71,12 @@ class GaussianModelState:
 
 
 def zero_stats(capacity: int) -> DensifyStats:
-    z = jnp.zeros((capacity,), jnp.float32)
-    return DensifyStats(grad_norm_accum=z, collecting_counts=z, max_radii=z)
+    # distinct buffers per field so jit buffer donation stays legal
+    return DensifyStats(
+        grad_norm_accum=jnp.zeros((capacity,), jnp.float32),
+        collecting_counts=jnp.zeros((capacity,), jnp.float32),
+        max_radii=jnp.zeros((capacity,), jnp.float32),
+    )
 
 
 def _round_up_capacity(n: int) -> int:

@@ -41,9 +41,12 @@ class AdamState:
 
 
 def init_adam_state(params: GaussianParams) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
+    # distinct buffers for mu and nu (sharing one zeros tree breaks buffer
+    # donation in the jitted train step)
+    mu = jax.tree.map(jnp.zeros_like, params)
+    nu = jax.tree.map(jnp.zeros_like, params)
     steps = {name: jnp.zeros((), jnp.int32) for name in PARAM_NAMES}
-    return AdamState(mu=zeros, nu=zeros, steps=steps)
+    return AdamState(mu=mu, nu=nu, steps=steps)
 
 
 def adam_update(

@@ -95,6 +95,7 @@ def load_blender_data(
     eval_in_val: bool,
     eval_in_test: bool,
     white_background: bool,
+    init_points: int = 100000,
 ) -> Tuple[List[Frame], Pointcloud, List[int], List[int]]:
     root = Path(path)
     train_frames = load_frames(
@@ -127,5 +128,7 @@ def load_blender_data(
     if not eval_indexes:
         logger.warning("no data for evaluation")
 
-    pc = generate_pointcloud(frames[split_point:] if eval else frames)
+    pc = generate_pointcloud(
+        frames[split_point:] if eval else frames, num_points=init_points
+    )
     return frames, pc, train_indexes, eval_indexes

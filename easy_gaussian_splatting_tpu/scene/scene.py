@@ -40,6 +40,7 @@ class Scene:
         use_masks: bool,
         mask_expand_pixels: int,
         white_background: bool,
+        blender_init_points: int = 100000,
     ):
         if data_format == "colmap":
             loaded = load_colmap_data(
@@ -59,6 +60,7 @@ class Scene:
                 eval_in_val,
                 eval_in_test,
                 white_background,
+                init_points=blender_init_points,
             )
         else:
             raise ValueError(f"invalid data_format: {data_format}")

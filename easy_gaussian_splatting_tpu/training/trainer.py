@@ -1,0 +1,402 @@
+"""The training loop and jitted train step.
+
+Behavioral spec (``/root/reference/train.py:22-164``): single-camera steps,
+forward + backward, then the scheduled side-work — checkpoint save, eval,
+densify/prune + opacity reset inside the refine window, SH-degree upgrade,
+means-LR decay, TensorBoard — then the optimizer step (skipped for params
+re-created by densify/reset, see models/optimizer.py).
+
+TPU redesign: the hot path is ONE jitted, donated function per (H, W,
+active-SH-degree): render -> loss -> backward -> statistics -> grouped Adam.
+Event steps (every ``refine_every``) call the separately-jitted densify with
+traced skip flags suppressing that step's weight update. Data decode runs
+ahead on prefetch threads; scalars are read back asynchronously.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.density import (
+    DensifyConfig,
+    densify_and_prune,
+    reset_opacities,
+    update_statistics,
+)
+from ..models.gaussians import (
+    GaussianModelState,
+    grow_capacity,
+    init_gaussian_state,
+)
+from ..models.loss import loss_dict
+from ..models.optimizer import (
+    AdamState,
+    adam_update,
+    grow_adam_state,
+    init_adam_state,
+)
+from ..models.render import CameraView, render
+from ..ops.lr_schedule import log_lerp_schedule
+from ..ops.sh import num_sh_bases
+from .config import Config
+
+logger = logging.getLogger(__name__)
+
+LR_GROUPS = ("log_scales", "quats", "sh_0", "sh_rest", "logit_opacities")
+
+
+def get_render_fn(cfg: Config) -> Callable:
+    """Select the renderer implementation. The tiled TPU renderer is the
+    production path; the oracle is exact but O(N*P)."""
+    if cfg.renderer == "tiled":
+        from ..ops.rasterize_tiled import make_tiled_render_fn
+
+        return make_tiled_render_fn(tile_size=cfg.tile_size)
+    return functools.partial(render, chunk=cfg.raster_chunk)
+
+
+def make_train_step(cfg: Config, render_fn: Callable):
+    background = jnp.full(
+        (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
+    )
+    static_lrs = {
+        "log_scales": cfg.log_scales_lr,
+        "quats": cfg.quats_lr,
+        "sh_0": cfg.sh_0_lr,
+        "sh_rest": cfg.sh_rest_lr,
+        "logit_opacities": cfg.logit_opacities_lr,
+    }
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("height", "width", "sh_degree"),
+        donate_argnames=("model", "adam"),
+    )
+    def train_step(
+        model: GaussianModelState,
+        adam: AdamState,
+        w2c: jnp.ndarray,
+        K: jnp.ndarray,
+        image: jnp.ndarray,
+        mask: jnp.ndarray,
+        lr_means: jnp.ndarray,
+        do_stats: jnp.ndarray,  # bool: inside the refine window
+        skip_all: jnp.ndarray,  # bool: densify event this step
+        skip_opac: jnp.ndarray,  # bool: opacity reset this step
+        *,
+        height: int,
+        width: int,
+        sh_degree: int,
+    ):
+        capacity = model.params.means.shape[0]
+        camera = CameraView(w2c=w2c, K=K, width=width, height=height)
+        absdummy = jnp.zeros((capacity, 2), jnp.float32)
+
+        def loss_fn(params, absd):
+            out = render_fn(
+                params, model.alive, camera, sh_degree, background, absd
+            )
+            ld = loss_dict(
+                out.image,
+                image,
+                mask,
+                cfg.lambda_ssim,
+                log_scales=params.log_scales,
+                alive=model.alive,
+                use_scale_regularization=cfg.use_scale_regularization,
+                max_scale_ratio=cfg.max_scale_ratio,
+                lambda_scale=cfg.lambda_scale,
+            )
+            return ld["total"], (ld, out.radii)
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (_, (ld, radii)), (grads, absgrad) = grad_fn(model.params, absdummy)
+
+        new_stats = update_statistics(
+            model.stats, radii, absgrad, height, width
+        )
+        stats = jax.tree.map(
+            lambda a, b: jnp.where(do_stats, b, a), model.stats, new_stats
+        )
+
+        lrs = {
+            name: jnp.asarray(v, jnp.float32) for name, v in static_lrs.items()
+        }
+        lrs["means"] = lr_means
+        skips = {
+            name: (
+                skip_all | skip_opac
+                if name == "logit_opacities"
+                else skip_all
+            )
+            for name in ("means",) + LR_GROUPS
+        }
+        params_new, adam_new = adam_update(
+            model.params, grads, adam, lrs, skips
+        )
+        model_new = GaussianModelState(
+            params=params_new, alive=model.alive, stats=stats
+        )
+        return model_new, adam_new, ld
+
+    return train_step
+
+
+def make_densify_step(cfg: Config):
+    dcfg = DensifyConfig(
+        densify_grad_thresh=cfg.densify_grad_thresh,
+        densify_scale_thresh=cfg.densify_scale_thresh,
+        num_splits=cfg.num_splits,
+        prune_radii_ratio_thresh=cfg.prune_radii_ratio_thresh,
+        prune_scale_thresh=cfg.prune_scale_thresh,
+        min_opacity=cfg.min_opacity,
+    )
+
+    @jax.jit
+    def densify_step(model, adam, key):
+        return densify_and_prune(model, adam, key, dcfg)
+
+    return densify_step
+
+
+@dataclasses.dataclass
+class TrainLoopState:
+    """Host-side mutable training context."""
+
+    model: GaussianModelState
+    adam: AdamState
+    active_sh_degree: int
+    step: int = 0
+
+
+def run_densify_with_growth(
+    loop: TrainLoopState,
+    densify_step,
+    key,
+    cfg: Config,
+) -> Dict[str, int]:
+    """Run a densify event; on free-slot overflow, grow capacity (pow2) and
+    retry on the pre-event state."""
+    while True:
+        new_model, new_adam, info, overflow = densify_step(
+            loop.model, loop.adam, key
+        )
+        if not bool(overflow):
+            n = int(info["nbr_gaussians"])
+            cap = loop.model.capacity
+            # pre-emptive growth: keep >= 15% headroom for the next event
+            if n > 0.85 * cap and cap < cfg.max_capacity:
+                new_cap = min(cap * 2, cfg.max_capacity)
+                logger.info(
+                    f"growing capacity {cap} -> {new_cap} "
+                    f"({n} gaussians alive)"
+                )
+                loop.model = grow_capacity(new_model, new_cap)
+                loop.adam = grow_adam_state(new_adam, new_cap - cap)
+            else:
+                loop.model, loop.adam = new_model, new_adam
+            return {k: int(v) for k, v in info.items()}
+        cap = loop.model.capacity
+        if cap >= cfg.max_capacity:
+            logger.warning(
+                f"densify overflow at max capacity {cap}; dropping excess"
+            )
+            loop.model, loop.adam = new_model, new_adam
+            return {k: int(v) for k, v in info.items()}
+        new_cap = min(cap * 2, cfg.max_capacity)
+        logger.info(f"densify overflow: growing capacity {cap} -> {new_cap}")
+        loop.model = grow_capacity(loop.model, new_cap)
+        loop.adam = grow_adam_state(loop.adam, new_cap - cap)
+
+
+def train(cfg: Config, scene=None) -> TrainLoopState:
+    """Full training run. Returns the final loop state (also checkpointed)."""
+    from ..evaluation.evaluator import Evaluator
+    from ..scene.scene import Scene, prefetch_frames
+    from ..utils.checkpoint import save_checkpoint
+    from ..utils.tb import create_tb_writer, tb_report
+
+    if scene is None:
+        scene = Scene(
+            cfg.data,
+            cfg.data_format,
+            cfg.output,
+            cfg.total_iterations,
+            cfg.eval,
+            cfg.eval_split_ratio,
+            cfg.eval_in_val,
+            cfg.eval_in_test,
+            cfg.use_masks,
+            cfg.mask_expand_pixels,
+            cfg.white_background,
+            blender_init_points=cfg.blender_init_points,
+        )
+
+    capacity = cfg.initial_capacity if cfg.initial_capacity > 0 else None
+    model = init_gaussian_state(
+        scene.pc.xyzs, scene.pc.rgbs, cfg.sh_degree, capacity=capacity
+    )
+    logger.info(
+        f"initialized {scene.pc.nbr_points} gaussians "
+        f"(capacity {model.capacity})"
+    )
+    adam = init_adam_state(model.params)
+    loop = TrainLoopState(
+        model=model,
+        adam=adam,
+        active_sh_degree=0 if cfg.sh_degree_interval != 0 else cfg.sh_degree,
+    )
+
+    render_fn = get_render_fn(cfg)
+    train_step = make_train_step(cfg, render_fn)
+    densify_step = make_densify_step(cfg)
+    means_lr = log_lerp_schedule(
+        cfg.means_lr_init, cfg.means_lr_final, cfg.means_lr_schedule_max_steps
+    )
+    evaluator = Evaluator(cfg.eval_render_num, render_fn)
+    key = jax.random.PRNGKey(cfg.random_seed)
+
+    tb_writer = None
+    if cfg.output is not None:
+        tb_path = Path(cfg.output) / "tensorboard"
+        logger.info(f"monitor training status: tensorboard --logdir {tb_path}")
+        tb_writer = create_tb_writer(str(tb_path))
+
+    viewer = None
+    if cfg.view_online and cfg.output is not None:
+        from ..viewer.integration import construct_training_viewer
+
+        viewer = construct_training_viewer(loop, cfg, Path(cfg.output))
+
+    save_iters = set(cfg.save_model_iterations)
+    background = jnp.full(
+        (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
+    )
+
+    t_start = time.time()
+    last_loss = float("nan")
+    for data in prefetch_frames(
+        scene, "train", shuffle=True, num_workers=cfg.dataloader_workers
+    ):
+        loop.step += 1
+        step = loop.step
+        all_tb_info: Dict[str, Any] = {}
+
+        in_refine = cfg.refine_start < step <= cfg.refine_stop
+        densify_now = (
+            in_refine and (step - cfg.refine_start) % cfg.refine_every == 0
+        )
+        reset_now = (
+            in_refine
+            and (step - cfg.refine_start) % cfg.reset_opacities_every == 0
+        )
+
+        loop.model, loop.adam, ld = train_step(
+            loop.model,
+            loop.adam,
+            jnp.asarray(data["w2c"]),
+            jnp.asarray(data["K"]),
+            jnp.asarray(data["image"]),
+            jnp.asarray(data["mask"]),
+            np.float32(means_lr(step)),
+            np.bool_(in_refine),
+            np.bool_(densify_now),
+            np.bool_(reset_now),
+            height=data["height"],
+            width=data["width"],
+            sh_degree=loop.active_sh_degree,
+        )
+
+        log_now = (
+            step == 1
+            or step % cfg.log_every == 0
+            or step % cfg.eval_every == 0
+            or (in_refine and (step - cfg.refine_start) % cfg.refine_every == 0)
+        )
+        if log_now or step % 10 == 0:
+            losses = {k: float(v) for k, v in ld.items()}
+            last_loss = losses["total"]
+            all_tb_info["train/loss"] = losses
+
+        # checkpoint
+        if step in save_iters and cfg.output is not None:
+            save_checkpoint(
+                Path(cfg.output) / "checkpoints" / f"iterations_{step}.npz",
+                loop.model,
+                loop.active_sh_degree,
+                step,
+                adam=loop.adam if cfg.save_optimizer_state else None,
+            )
+
+        # eval
+        if scene.nbr_data("eval") > 0 and (
+            step == 1 or step % cfg.eval_every == 0
+        ):
+            metrics = evaluator.evaluate(
+                scene,
+                "eval",
+                loop.model,
+                loop.active_sh_degree,
+                background,
+                num_workers=cfg.dataloader_workers,
+            )
+            for k, v in metrics.items():
+                if "render" in k:
+                    all_tb_info[f"render/{k}"] = v
+                elif k in ("psnr", "ssim", "lpips", "fps"):
+                    all_tb_info[f"eval/{k}"] = v
+
+        # refine events
+        if densify_now:
+            key, sub = jax.random.split(key)
+            info = run_densify_with_growth(loop, densify_step, sub, cfg)
+            all_tb_info["train/densify"] = {
+                "split": info["split"],
+                "clone": info["clone"],
+            }
+            all_tb_info["train/prune"] = {
+                "low_opacity": info["prune_low_opacity"],
+                "large_radii": info["prune_large_radii"],
+                "large_scale": info["prune_large_scale"],
+            }
+            all_tb_info["train/nbr_gaussians"] = info["nbr_gaussians"]
+        if reset_now:
+            loop.model, loop.adam = reset_opacities(
+                loop.model, loop.adam, cfg.min_opacity
+            )
+
+        # SH degree upgrade
+        if (
+            cfg.sh_degree_interval != 0
+            and step % cfg.sh_degree_interval == 0
+        ):
+            loop.active_sh_degree = min(
+                loop.active_sh_degree + 1, cfg.sh_degree
+            )
+
+        if tb_writer is not None and log_now:
+            tb_report(tb_writer, step, all_tb_info)
+
+        if step % 100 == 0:
+            elapsed = time.time() - t_start
+            logger.info(
+                f"step {step}/{cfg.total_iterations} "
+                f"loss={last_loss:.5f} "
+                f"({step / elapsed:.2f} it/s)"
+            )
+
+        if viewer is not None:
+            viewer.update_render_image()
+
+    if tb_writer is not None:
+        tb_writer.close()
+    return loop
