@@ -10,6 +10,7 @@ background color, and a [0,1] clamp on the rendered image. The returned
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -45,6 +46,8 @@ def render(
     background: jnp.ndarray,  # [3]
     absgrad_dummy: jnp.ndarray,  # [C, 2] zeros; cotangent = absgrad
     chunk: int = 256,
+    rasterizer=None,  # (m2d, conics, colors, opac, depths, bg, absdummy,
+    # H, W, radii=...) -> (img, alpha); default: the oracle
 ) -> RenderOutput:
     scales = jnp.exp(params.log_scales)
     opacities = jax.nn.sigmoid(params.logit_opacities) * alive.astype(jnp.float32)
@@ -62,7 +65,9 @@ def render(
     colors = eval_sh_color(sh_degree, shs, dirs)  # [C, 3]
 
     opac_eff = opacities * (proj.radii > 0.0).astype(jnp.float32)
-    img, alpha = rasterize(
+    if rasterizer is None:
+        rasterizer = functools.partial(rasterize, chunk=chunk)
+    img, alpha = rasterizer(
         proj.means2d,
         proj.conics,
         colors,
@@ -72,7 +77,7 @@ def render(
         absgrad_dummy,
         camera.height,
         camera.width,
-        chunk,
+        radii=proj.radii,
     )
     img = jnp.clip(img, 0.0, 1.0)
     return RenderOutput(image=img, alpha=alpha, radii=proj.radii)

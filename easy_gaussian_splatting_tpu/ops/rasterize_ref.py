@@ -258,9 +258,12 @@ def rasterize(
     height: int,
     width: int,
     chunk: int = 128,
+    radii: jnp.ndarray | None = None,  # unified rasterizer signature; the
+    # oracle composites every eligible Gaussian so radii are not needed
 ):
     """Depth-sort then composite; blends the background like the reference
     (``C += T_final * bg``). Returns (image [H,W,3], alpha [H,W])."""
+    del radii
     order = jnp.argsort(jnp.where(opacities > 0.0, depths, jnp.inf))
     img, final_t = rasterize_sorted(
         means2d[order],

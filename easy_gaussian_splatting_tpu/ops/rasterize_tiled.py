@@ -1,0 +1,437 @@
+"""Tiled rasterization: binning + per-tile depth-ordered compositing.
+
+This is the production TPU path for stages (3)-(6) of the pipeline the
+reference delegates to gsplat's CUDA kernels (``/root/reference/model/
+gaussian.py:353-374``): tile intersection, per-tile depth ordering, forward
+alpha compositing, and the hand-derived backward (in
+``pallas/tile_raster.py``).
+
+TPU-first redesign of the CUDA tile pipeline:
+- no global radix sort of (tile|depth) keys: Gaussians are depth-sorted
+  once globally (one ``lax.sort`` of N keys), then duplicated into at most
+  ``max_tiles_w x max_tiles_h`` covered tiles and **stably** sorted by tile
+  id only — stability preserves the depth order within each tile;
+- per-tile index lists become one flat intersection array plus a [T+1]
+  offsets table (CSR-style), consumed by a Pallas kernel whose grid walks
+  tiles with scalar-prefetched offsets;
+- per-intersection features are pre-gathered into a dense matrix so the
+  kernel only does contiguous DMA (no gather on TPU);
+- the Gaussian quadratic form is expressed in *tile-local* pixel
+  coordinates as a 6-coefficient polynomial, so in-kernel evaluation is an
+  [c, 8] x [8, tile_pixels] MXU matmul (local coords keep f32 exact).
+
+Gaussians covering more than the duplication budget are clamped to a
+centered window of tiles (a bounded approximation the CUDA kernel does not
+need; only affects footprints larger than ``max_tiles_* x tile_size``
+pixels).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import CameraIntrinsics, project_gaussians
+from .sh import eval_sh_color
+
+DEFAULT_TILE = 32
+DEFAULT_MAX_TILES_W = 6
+DEFAULT_MAX_TILES_H = 6
+
+# feature layout of the per-intersection matrix (padded to 16 lanes)
+# 0..5: sigma polynomial coeffs (px2, py2, pxpy, px, py, 1) in tile-local px
+# 6: opacity, 7..9: rgb, 10..12: conic (a,b,c), 13..14: tile-local mean xy
+NUM_FEATURES = 16
+
+
+class TiledGeometry(NamedTuple):
+    tiles_x: int
+    tiles_y: int
+    tile_size: int
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+
+def image_geometry(height: int, width: int, tile_size: int) -> TiledGeometry:
+    return TiledGeometry(
+        tiles_x=-(-width // tile_size),
+        tiles_y=-(-height // tile_size),
+        tile_size=tile_size,
+    )
+
+
+class Binning(NamedTuple):
+    """CSR-style per-tile intersection lists over depth-sorted Gaussians."""
+
+    order: jnp.ndarray  # [C] depth argsort (invalid gaussians at the end)
+    isect_rank: jnp.ndarray  # [C*M] rank into sorted arrays, tile-grouped
+    isect_tile: jnp.ndarray  # [C*M] tile id per intersection (T = invalid)
+    tile_offsets: jnp.ndarray  # [T+1]
+    num_isects: jnp.ndarray  # [] int32
+
+
+def bin_gaussians(
+    means2d: jnp.ndarray,  # [C, 2]
+    radii: jnp.ndarray,  # [C] (0 = culled)
+    depths: jnp.ndarray,  # [C]
+    geom: TiledGeometry,
+    max_tiles_w: int = DEFAULT_MAX_TILES_W,
+    max_tiles_h: int = DEFAULT_MAX_TILES_H,
+) -> Binning:
+    c = means2d.shape[0]
+    ts = geom.tile_size
+    tx_n, ty_n = geom.tiles_x, geom.tiles_y
+    num_tiles = geom.num_tiles
+    m = max_tiles_w * max_tiles_h
+
+    valid = radii > 0.0
+    order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
+    m2d = means2d[order]
+    rad = radii[order]
+    valid_s = rad > 0.0
+
+    mx, my = m2d[:, 0], m2d[:, 1]
+    tx0 = jnp.clip(jnp.floor((mx - rad) / ts), 0, tx_n - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((mx + rad) / ts), 0, tx_n - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((my - rad) / ts), 0, ty_n - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((my + rad) / ts), 0, ty_n - 1).astype(jnp.int32)
+
+    # clamp oversized rects to a centered window (budget M tiles)
+    cx = jnp.clip(jnp.floor(mx / ts).astype(jnp.int32), tx0, tx1)
+    cy = jnp.clip(jnp.floor(my / ts).astype(jnp.int32), ty0, ty1)
+    w = tx1 - tx0 + 1
+    h = ty1 - ty0 + 1
+    tx0 = jnp.where(
+        w > max_tiles_w,
+        jnp.clip(cx - max_tiles_w // 2, tx0, tx1 - max_tiles_w + 1),
+        tx0,
+    )
+    ty0 = jnp.where(
+        h > max_tiles_h,
+        jnp.clip(cy - max_tiles_h // 2, ty0, ty1 - max_tiles_h + 1),
+        ty0,
+    )
+    w = jnp.minimum(w, max_tiles_w)
+    h = jnp.minimum(h, max_tiles_h)
+    count = jnp.where(valid_s, w * h, 0)  # [C]
+
+    j = jnp.arange(m, dtype=jnp.int32)[None, :]  # [1, M]
+    w_safe = jnp.maximum(w, 1)[:, None]
+    jy = j // w_safe
+    jx = j % w_safe
+    tile = (ty0[:, None] + jy) * tx_n + tx0[:, None] + jx  # [C, M]
+    keys = jnp.where(
+        (j < count[:, None]) & valid_s[:, None], tile, num_tiles
+    ).astype(jnp.int32)
+    ranks = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.int32)[:, None], (c, m)
+    )
+
+    sorted_keys, sorted_ranks = jax.lax.sort(
+        (keys.reshape(-1), ranks.reshape(-1)), num_keys=1, is_stable=True
+    )
+    tile_offsets = jnp.searchsorted(
+        sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return Binning(
+        order=order,
+        isect_rank=sorted_ranks,
+        isect_tile=sorted_keys,
+        tile_offsets=tile_offsets,
+        num_isects=tile_offsets[num_tiles],
+    )
+
+
+def pack_features(
+    m2d_s: jnp.ndarray,  # [C, 2] depth-sorted means
+    conics_s: jnp.ndarray,  # [C, 3]
+    colors_s: jnp.ndarray,  # [C, 3]
+    opac_s: jnp.ndarray,  # [C]
+    binning: Binning,
+    geom: TiledGeometry,
+) -> jnp.ndarray:
+    """Per-intersection feature matrix [I, 16] with tile-local sigma
+    polynomial coefficients. Differentiable w.r.t. the float inputs."""
+    ranks = binning.isect_rank
+    tiles = jnp.minimum(binning.isect_tile, geom.num_tiles - 1)
+    ox = (tiles % geom.tiles_x).astype(jnp.float32) * geom.tile_size
+    oy = (tiles // geom.tiles_x).astype(jnp.float32) * geom.tile_size
+
+    m2d = m2d_s[ranks]
+    con = conics_s[ranks]
+    col = colors_s[ranks]
+    opa = opac_s[ranks]
+    # invalid intersections: zero opacity so the kernel skips them
+    invalid = binning.isect_tile >= geom.num_tiles
+    opa = jnp.where(invalid, 0.0, opa)
+
+    mx = m2d[:, 0] - ox  # tile-local mean
+    my = m2d[:, 1] - oy
+    a, b, cc = con[:, 0], con[:, 1], con[:, 2]
+
+    feats = jnp.stack(
+        [
+            0.5 * a,  # * px^2
+            0.5 * cc,  # * py^2
+            b,  # * px*py
+            -(a * mx + b * my),  # * px
+            -(cc * my + b * mx),  # * py
+            0.5 * a * mx * mx + 0.5 * cc * my * my + b * mx * my,  # * 1
+            opa,
+            col[:, 0],
+            col[:, 1],
+            col[:, 2],
+            a,
+            b,
+            cc,
+            mx,
+            my,
+            jnp.zeros_like(mx),
+        ],
+        axis=-1,
+    )
+    return feats
+
+
+def tile_pixel_basis(geom: TiledGeometry) -> jnp.ndarray:
+    """[8, P_tile] polynomial basis over tile-local pixel centers:
+    rows (px^2, py^2, px*py, px, py, 1, 0, 0)."""
+    ts = geom.tile_size
+    px = jnp.arange(ts, dtype=jnp.float32) + 0.5
+    py = jnp.arange(ts, dtype=jnp.float32) + 0.5
+    pxg, pyg = jnp.meshgrid(px, py, indexing="xy")  # [ts, ts]
+    px_f = pxg.reshape(-1)
+    py_f = pyg.reshape(-1)
+    ones = jnp.ones_like(px_f)
+    zeros = jnp.zeros_like(px_f)
+    return jnp.stack(
+        [px_f * px_f, py_f * py_f, px_f * py_f, px_f, py_f, ones, zeros, zeros],
+        axis=0,
+    )
+
+
+def tiles_to_image(
+    tile_data: jnp.ndarray, geom: TiledGeometry, height: int, width: int
+) -> jnp.ndarray:
+    """[T, ts*ts, ...] -> [H, W, ...] (crop padding)."""
+    ts = geom.tile_size
+    x = tile_data.reshape(
+        (geom.tiles_y, geom.tiles_x, ts, ts) + tile_data.shape[2:]
+    )
+    x = jnp.swapaxes(x, 1, 2)  # [ty, ts, tx, ts, ...]
+    x = x.reshape(
+        (geom.tiles_y * ts, geom.tiles_x * ts) + tile_data.shape[2:]
+    )
+    return x[:height, :width]
+
+
+def image_to_tiles(
+    img: jnp.ndarray, geom: TiledGeometry, height: int, width: int
+) -> jnp.ndarray:
+    """[H, W, ...] -> [T, ts*ts, ...] (zero-pad to the tile grid)."""
+    ts = geom.tile_size
+    pad_h = geom.tiles_y * ts - height
+    pad_w = geom.tiles_x * ts - width
+    pad = [(0, pad_h), (0, pad_w)] + [(0, 0)] * (img.ndim - 2)
+    x = jnp.pad(img, pad)
+    x = x.reshape(
+        (geom.tiles_y, ts, geom.tiles_x, ts) + img.shape[2:]
+    )
+    x = jnp.swapaxes(x, 1, 2)  # [ty, tx, ts, ts, ...]
+    return x.reshape((geom.num_tiles, ts * ts) + img.shape[2:])
+
+
+# --------------------------------------------------------------------------
+# custom-VJP rasterizer built on the Pallas kernels
+# --------------------------------------------------------------------------
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _prepare(
+    means2d, conics, colors, opacities, radii, depths,
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+):
+    from .pallas.tile_raster import CHUNK
+
+    geom = image_geometry(height, width, tile_size)
+    binning = bin_gaussians(
+        means2d, radii, depths, geom, max_tiles_w, max_tiles_h
+    )
+    ranks = binning.isect_rank[:isect_cap]
+    tiles = binning.isect_tile[:isect_cap]
+    sliced = Binning(
+        order=binning.order,
+        isect_rank=ranks,
+        isect_tile=tiles,
+        tile_offsets=jnp.minimum(binning.tile_offsets, isect_cap),
+        num_isects=binning.num_isects,
+    )
+    m2d_s = means2d[binning.order]
+    con_s = conics[binning.order]
+    col_s = colors[binning.order]
+    opa_s = opacities[binning.order]
+    feats = pack_features(m2d_s, con_s, col_s, opa_s, sliced, geom)
+    feats = jnp.pad(feats, ((0, CHUNK), (0, 0)))  # DMA overrun guard
+    return geom, sliced, feats
+
+
+def _tiled_impl(
+    means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
+):
+    from .pallas.tile_raster import tiled_forward
+
+    geom, binning, feats = _prepare(
+        means2d, conics, colors, opacities, radii, depths,
+        height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+    )
+    basis = tile_pixel_basis(geom)
+    rgb_t, tfin_t, last_t = tiled_forward(
+        feats, binning.tile_offsets, basis, geom.num_tiles,
+        interpret=interpret,
+    )
+    img = tiles_to_image(
+        jnp.swapaxes(rgb_t, 1, 2), geom, height, width
+    )  # [H, W, 3]
+    final_t = tiles_to_image(tfin_t, geom, height, width)
+    return img, final_t, (binning, tfin_t, last_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _rasterize_tiled_core(
+    means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
+):
+    img, final_t, _ = _tiled_impl(
+        means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+        height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+        interpret,
+    )
+    return img, final_t
+
+
+def _core_fwd(
+    means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
+):
+    img, final_t, (binning, tfin_t, last_t) = _tiled_impl(
+        means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+        height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+        interpret,
+    )
+    residuals = (
+        means2d, conics, colors, opacities, radii, depths,
+        binning, tfin_t, last_t,
+    )
+    return (img, final_t), residuals
+
+
+def _core_bwd(
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
+    residuals, cotangents,
+):
+    from .pallas.tile_raster import CHUNK, tiled_backward
+
+    (
+        means2d, conics, colors, opacities, radii, depths,
+        binning, tfin_t, last_t,
+    ) = residuals
+    g_img, g_t = cotangents
+    geom = image_geometry(height, width, tile_size)
+
+    # recompute the packed features (cheaper than storing them)
+    m2d_s = means2d[binning.order]
+    con_s = conics[binning.order]
+    col_s = colors[binning.order]
+    opa_s = opacities[binning.order]
+    feats = pack_features(m2d_s, con_s, col_s, opa_s, binning, geom)
+    feats = jnp.pad(feats, ((0, CHUNK), (0, 0)))
+    basis = tile_pixel_basis(geom)
+
+    gimg_t = jnp.swapaxes(
+        image_to_tiles(g_img, geom, height, width), 1, 2
+    )  # [T, 3, P]
+    gt_t = image_to_tiles(g_t, geom, height, width)  # [T, P]
+
+    dfeats = tiled_backward(
+        feats, binning.tile_offsets, basis, gimg_t, gt_t, tfin_t, last_t,
+        interpret=interpret,
+    )
+    n_valid = jnp.minimum(binning.num_isects, isect_cap)
+    valid = (
+        jnp.arange(dfeats.shape[0], dtype=jnp.int32) < n_valid
+    )[:, None]
+    dfeats = jnp.where(valid, dfeats, 0.0)
+
+    c = means2d.shape[0]
+    dsum = jnp.zeros((c, 16), jnp.float32)
+    dsum = dsum.at[binning.isect_rank].add(dfeats[: binning.isect_rank.shape[0]])
+
+    def unsort(x_s):
+        return jnp.zeros_like(x_s).at[binning.order].set(x_s)
+
+    v_m2d = unsort(dsum[:, 0:2])
+    v_conic = unsort(dsum[:, 2:5])
+    v_opac = unsort(dsum[:, 5])
+    v_color = unsort(dsum[:, 6:9])
+    v_abs = unsort(dsum[:, 9:11])
+    zero_radii = jnp.zeros_like(radii)
+    zero_depths = jnp.zeros_like(depths)
+    return (v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths, v_abs)
+
+
+_rasterize_tiled_core.defvjp(_core_fwd, _core_bwd)
+
+
+def rasterize_tiled(
+    means2d, conics, colors, opacities, depths, background, absgrad_dummy,
+    height, width, *, radii,
+    tile_size: int = DEFAULT_TILE,
+    max_tiles_w: int = DEFAULT_MAX_TILES_W,
+    max_tiles_h: int = DEFAULT_MAX_TILES_H,
+    isect_mult: int = 8,
+    interpret: bool | None = None,
+):
+    """Tiled rasterization with the unified rasterizer signature (see
+    ``models/render.py``). Returns (image [H,W,3], alpha [H,W])."""
+    if interpret is None:
+        interpret = _interpret_default()
+    c = means2d.shape[0]
+    isect_cap = c * isect_mult
+    img, final_t = _rasterize_tiled_core(
+        means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+        height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+        interpret,
+    )
+    img = img + final_t[..., None] * background[None, None, :]
+    return img, 1.0 - final_t
+
+
+def make_tiled_render_fn(
+    tile_size: int = DEFAULT_TILE,
+    max_tiles_w: int = DEFAULT_MAX_TILES_W,
+    max_tiles_h: int = DEFAULT_MAX_TILES_H,
+    isect_mult: int = 8,
+    interpret: bool | None = None,
+):
+    """Render function (models/render.py signature) using the tiled Pallas
+    rasterizer."""
+    from ..models.render import render as _render
+
+    rasterizer = functools.partial(
+        rasterize_tiled,
+        tile_size=tile_size,
+        max_tiles_w=max_tiles_w,
+        max_tiles_h=max_tiles_h,
+        isect_mult=isect_mult,
+        interpret=interpret,
+    )
+    return functools.partial(_render, rasterizer=rasterizer)

@@ -1,0 +1,237 @@
+"""Tiled (Pallas) rasterizer vs the oracle: binning invariants, forward
+equality, gradient and absgrad equality. Runs in Pallas interpret mode on
+CPU; the same kernels compile for TPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from easy_gaussian_splatting_tpu.ops.rasterize_ref import rasterize
+from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+    bin_gaussians,
+    image_geometry,
+    image_to_tiles,
+    tiles_to_image,
+    rasterize_tiled,
+)
+
+H, W = 40, 72  # non-multiples of the tile size exercise padding
+
+
+def _scene(rng, n=60, max_opac=0.95, big=False):
+    means2d = jnp.asarray(
+        rng.uniform([-6, -6], [W + 6, H + 6], size=(n, 2)).astype(np.float32)
+    )
+    L = rng.normal(size=(n, 2, 2)).astype(np.float32) * (2.0 if big else 0.6)
+    cov = L @ np.swapaxes(L, 1, 2) + np.eye(2)[None] * 1.5
+    det = cov[:, 0, 0] * cov[:, 1, 1] - cov[:, 0, 1] ** 2
+    conics = np.stack(
+        [cov[:, 1, 1] / det, -cov[:, 0, 1] / det, cov[:, 0, 0] / det], -1
+    ).astype(np.float32)
+    b = 0.5 * (cov[:, 0, 0] + cov[:, 1, 1])
+    v1 = b + np.sqrt(np.maximum(b * b - det, 0.01))
+    radii = np.ceil(3.0 * np.sqrt(v1)).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.05, max_opac, size=(n,)).astype(np.float32)
+    depths = rng.uniform(1.0, 10.0, size=(n,)).astype(np.float32)
+    # cull a few
+    opac[:3] = 0.0
+    radii[:3] = 0.0
+    return (
+        means2d,
+        jnp.asarray(conics),
+        jnp.asarray(colors),
+        jnp.asarray(opac),
+        jnp.asarray(radii),
+        jnp.asarray(depths),
+    )
+
+
+class TestBinning:
+    def test_offsets_and_depth_order(self, rng):
+        m2d, con, col, opa, rad, dep = _scene(rng)
+        geom = image_geometry(H, W, 16)
+        b = bin_gaussians(m2d, rad, dep, geom, 8, 8)
+        offs = np.asarray(b.tile_offsets)
+        assert offs[0] == 0
+        assert np.all(np.diff(offs) >= 0)
+        ranks = np.asarray(b.isect_rank)
+        tiles = np.asarray(b.isect_tile)
+        n_isect = int(b.num_isects)
+        assert n_isect == offs[-1]
+        # within each tile, ranks are ascending = depth-ordered
+        for t in range(geom.num_tiles):
+            r = ranks[offs[t] : offs[t + 1]]
+            assert np.all(np.diff(r) > 0)
+            assert np.all(tiles[offs[t] : offs[t + 1]] == t)
+        # every intersection's gaussian rect covers the tile
+        dep_s = np.asarray(dep[b.order])
+        srt = np.sort(np.asarray(dep[rad > 0]))
+        # ranks reference the depth-sorted arrays
+        valid_ranks = ranks[:n_isect]
+        np.testing.assert_allclose(
+            np.sort(np.unique(dep_s[valid_ranks])),
+            np.unique(dep_s[valid_ranks]),
+        )
+
+    def test_coverage_matches_rects(self, rng):
+        m2d, con, col, opa, rad, dep = _scene(rng, n=20)
+        geom = image_geometry(H, W, 16)
+        b = bin_gaussians(m2d, rad, dep, geom, 8, 8)
+        offs = np.asarray(b.tile_offsets)
+        ranks = np.asarray(b.isect_rank)
+        m2d_s = np.asarray(m2d[b.order])
+        rad_s = np.asarray(rad[b.order])
+        # brute-force expected coverage
+        for t in range(geom.num_tiles):
+            tx, ty = t % geom.tiles_x, t // geom.tiles_x
+            got = set(ranks[offs[t] : offs[t + 1]].tolist())
+            expected = set()
+            for i in range(20):
+                if rad_s[i] <= 0:
+                    continue
+                x0 = int(np.clip((m2d_s[i, 0] - rad_s[i]) // 16, 0, geom.tiles_x - 1))
+                x1 = int(np.clip((m2d_s[i, 0] + rad_s[i]) // 16, 0, geom.tiles_x - 1))
+                y0 = int(np.clip((m2d_s[i, 1] - rad_s[i]) // 16, 0, geom.tiles_y - 1))
+                y1 = int(np.clip((m2d_s[i, 1] + rad_s[i]) // 16, 0, geom.tiles_y - 1))
+                if x0 <= tx <= x1 and y0 <= ty <= y1:
+                    expected.add(i)
+            assert got == expected, f"tile {t}"
+
+    def test_tile_roundtrip(self, rng):
+        img = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+        geom = image_geometry(H, W, 16)
+        tiles = image_to_tiles(img, geom, H, W)
+        back = tiles_to_image(tiles, geom, H, W)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(img))
+
+
+def _run_both(scene, tile_size=16, **kw):
+    m2d, con, col, opa, rad, dep = scene
+    n = m2d.shape[0]
+    bg = jnp.array([0.1, 0.2, 0.3])
+    dummy = jnp.zeros((n, 2))
+    img_o, alpha_o = rasterize(
+        m2d, con, col, opa, dep, bg, dummy, H, W, radii=rad
+    )
+    img_t, alpha_t = rasterize_tiled(
+        m2d, con, col, opa, dep, bg, dummy, H, W, radii=rad,
+        tile_size=tile_size, interpret=True, **kw,
+    )
+    return img_o, alpha_o, img_t, alpha_t
+
+
+class TestTiledForward:
+    def test_exact_match_low_opacity(self, rng):
+        # with opacity <= 0.3, contributions outside the 3-sigma bounding box
+        # fall below the 1/255 threshold, so binning == global eligibility
+        # and the tiled result equals the oracle exactly (up to fp order)
+        scene = _scene(rng, max_opac=0.3)
+        img_o, alpha_o, img_t, alpha_t = _run_both(scene)
+        np.testing.assert_allclose(
+            np.asarray(img_t), np.asarray(img_o), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(alpha_t), np.asarray(alpha_o), atol=2e-5
+        )
+
+    def test_close_match_any_opacity(self, rng):
+        # opaque gaussians may contribute up to ~e^-4.5 outside their
+        # bounding box, which the tiled path (like the CUDA reference) cuts
+        scene = _scene(rng, max_opac=0.95)
+        img_o, alpha_o, img_t, alpha_t = _run_both(scene)
+        np.testing.assert_allclose(
+            np.asarray(img_t), np.asarray(img_o), atol=2e-2
+        )
+
+    def test_empty_scene_is_background(self, rng):
+        m2d, con, col, opa, rad, dep = _scene(rng, n=5)
+        bg = jnp.array([0.6, 0.5, 0.4])
+        img, alpha = rasterize_tiled(
+            m2d, con, col, jnp.zeros_like(opa), dep, bg,
+            jnp.zeros((5, 2)), H, W, radii=jnp.zeros_like(rad),
+            tile_size=16, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img), np.broadcast_to(np.asarray(bg), (H, W, 3)),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=1e-6)
+
+    def test_opaque_stack_early_stop(self, rng):
+        n = 40
+        m2d = jnp.tile(jnp.array([[36.0, 20.0]], jnp.float32), (n, 1))
+        con = jnp.tile(jnp.array([[0.5, 0.0, 0.5]], jnp.float32), (n, 1))
+        col = jnp.ones((n, 3), jnp.float32)
+        opa = jnp.full((n,), 0.99, jnp.float32)
+        rad = jnp.full((n,), 5.0, jnp.float32)
+        dep = jnp.arange(n, dtype=jnp.float32) + 1.0
+        bg = jnp.zeros(3)
+        img_o, alpha_o = rasterize(
+            m2d, con, col, opa, dep, bg, jnp.zeros((n, 2)), H, W, radii=rad
+        )
+        img_t, alpha_t = rasterize_tiled(
+            m2d, con, col, opa, dep, bg, jnp.zeros((n, 2)), H, W, radii=rad,
+            tile_size=16, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_t), np.asarray(img_o), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(alpha_t), np.asarray(alpha_o), atol=1e-5
+        )
+
+
+class TestTiledBackward:
+    def test_grads_match_oracle_low_opacity(self, rng):
+        scene = _scene(rng, max_opac=0.3)
+        m2d, con, col, opa, rad, dep = scene
+        n = m2d.shape[0]
+        bg = jnp.array([0.3, 0.2, 0.1])
+        g_img = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+
+        def loss_oracle(m, c, k, o, d):
+            img, alpha = rasterize(m, c, k, o, dep, bg, d, H, W, radii=rad)
+            return jnp.sum(img * g_img) + jnp.sum(alpha**2)
+
+        def loss_tiled(m, c, k, o, d):
+            img, alpha = rasterize_tiled(
+                m, c, k, o, dep, bg, d, H, W, radii=rad,
+                tile_size=16, interpret=True,
+            )
+            return jnp.sum(img * g_img) + jnp.sum(alpha**2)
+
+        dummy = jnp.zeros((n, 2))
+        go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(
+            m2d, con, col, opa, dummy
+        )
+        gt = jax.grad(loss_tiled, argnums=(0, 1, 2, 3, 4))(
+            m2d, con, col, opa, dummy
+        )
+        names = ["means2d", "conic", "color", "opac", "absgrad"]
+        for a, b, nm in zip(go, gt, names):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-4, rtol=2e-3,
+                err_msg=f"grad mismatch: {nm}",
+            )
+
+    def test_absgrad_positive_and_bounding(self, rng):
+        scene = _scene(rng, max_opac=0.3)
+        m2d, con, col, opa, rad, dep = scene
+        n = m2d.shape[0]
+        bg = jnp.zeros(3)
+
+        def loss(m, d):
+            img, _ = rasterize_tiled(
+                m, con, col, opa, dep, bg, d, H, W, radii=rad,
+                tile_size=16, interpret=True,
+            )
+            return jnp.sum(img**2)
+
+        g_m2d, absgrad = jax.grad(loss, argnums=(0, 1))(
+            m2d, jnp.zeros((n, 2))
+        )
+        absgrad = np.asarray(absgrad)
+        assert np.all(absgrad >= 0)
+        assert np.all(absgrad - np.abs(np.asarray(g_m2d)) >= -1e-5)
