@@ -71,6 +71,12 @@ def _cumsum0_rev(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _prod0(x: jnp.ndarray) -> jnp.ndarray:
+    """Product along axis 0, keepdims — Mosaic has no reduce_prod, so use
+    the log-step cumulative product and take its last row."""
+    return _cumprod0(x)[-1:]
+
+
 def _cummax0(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumulative maximum along axis 0 (for the stop prefix)."""
     c = x.shape[0]
@@ -108,8 +114,8 @@ def _fwd_kernel(
     feats_ref,  # HBM [I_pad, 16]
     basis_ref,  # VMEM [8, P]
     rgb_ref,  # out [1, 3, P]
-    t_ref,  # out [1, P]
-    last_ref,  # out [1, P] int32
+    t_ref,  # out [1, 1, P]
+    last_ref,  # out [1, 1, P] int32
     buf_ref,  # scratch VMEM [CHUNK, 16]
     done_ref,  # scratch VMEM [1, P] float32 (0/1)
     sem,  # DMA semaphore
@@ -147,7 +153,7 @@ def _fwd_kernel(
         cum_excl = jnp.concatenate(
             [jnp.ones((1, p), jnp.float32), cum_incl[:-1]], axis=0
         )
-        t_in = t_ref[...]  # [1, P]
+        t_in = t_ref[0]  # [1, P]
         t_g = t_in * cum_excl
         stop = elig & (t_g * om < T_EPS)
         stop_f = stop.astype(jnp.float32)
@@ -163,11 +169,11 @@ def _fwd_kernel(
         )  # [3, P]
         rgb_ref[0] = rgb_ref[0] + contrib
 
-        t_ref[...] = t_in * jnp.prod(
-            jnp.where(comp, om, 1.0), axis=0, keepdims=True
+        t_ref[0] = t_in * _prod0(jnp.where(comp, om, 1.0))
+        done_new = jnp.maximum(
+            done_in, jnp.max(stop_f, axis=0, keepdims=True)
         )
-        done_new = (done_in > 0.0) | jnp.any(stop, axis=0, keepdims=True)
-        done_ref[...] = done_new.astype(jnp.float32)
+        done_ref[...] = done_new
 
         pos = start + k * CHUNK + jax.lax.broadcasted_iota(
             jnp.int32, (CHUNK, p), 0
@@ -175,9 +181,9 @@ def _fwd_kernel(
         last_c = jnp.max(
             jnp.where(comp, pos, -1), axis=0, keepdims=True
         )
-        last_ref[...] = jnp.maximum(last_ref[...], last_c)
+        last_ref[0] = jnp.maximum(last_ref[0], last_c)
 
-        return k + 1, jnp.all(done_new)
+        return k + 1, jnp.min(done_new) > 0.0
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), False))
 
@@ -192,6 +198,8 @@ def tiled_forward(
     """Run the forward kernel. Returns (rgb [T,3,P], final_T [T,P],
     last_idx [T,P])."""
     p = basis.shape[1]
+    # TPU block shapes must have (8,128)-divisible or full trailing dims;
+    # singleton middle dims keep per-tile blocks legal
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
@@ -201,8 +209,8 @@ def tiled_forward(
         ],
         out_specs=[
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, p), lambda t, *_: (t, 0)),
-            pl.BlockSpec((1, p), lambda t, *_: (t, 0)),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((CHUNK, 16), jnp.float32),
@@ -210,16 +218,18 @@ def tiled_forward(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
+    rgb, tfin, last = pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, p), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.int32),
         ],
         interpret=interpret,
     )(tile_offsets, feats, basis)
+    # squeeze the singleton block dim: [T, 1, P] -> [T, P]
+    return rgb, tfin[:, 0], last[:, 0]
 
 
 def _bwd_kernel(
@@ -227,9 +237,9 @@ def _bwd_kernel(
     feats_ref,  # HBM [I_pad, 16]
     basis_ref,  # VMEM [8, P]
     gimg_ref,  # VMEM block [1, 3, P]: dL/dimage for this tile
-    gt_ref,  # VMEM block [1, P]: dL/dfinal_T
-    tfin_ref,  # VMEM block [1, P]: forward final transmittance
-    last_ref,  # VMEM block [1, P] int32: forward last contributor
+    gt_ref,  # VMEM block [1, 1, P]: dL/dfinal_T
+    tfin_ref,  # VMEM block [1, 1, P]: forward final transmittance
+    last_ref,  # VMEM block [1, 1, P] int32: forward last contributor
     dfeats_ref,  # HBM out [I_pad, 16]
     tstate_ref,  # scratch VMEM [1, P]
     sstate_ref,  # scratch VMEM [1, P]
@@ -244,14 +254,14 @@ def _bwd_kernel(
     n = end - start
     p = basis_ref.shape[1]
 
-    tstate_ref[...] = tfin_ref[...]
+    tstate_ref[...] = tfin_ref[0]
     # suffix term: (g . bg + g_T) * T_fin; the background blend happens in
     # XLA so its contribution arrives through gt_ref
-    sstate_ref[...] = gt_ref[...] * tfin_ref[...]
+    sstate_ref[...] = gt_ref[0] * tfin_ref[0]
 
     num_chunks = pl.cdiv(n, CHUNK)
     gimg = gimg_ref[0]  # [3, P]
-    last = last_ref[...]  # [1, P]
+    last = last_ref[0]  # [1, P]
 
     def body(kk, _):
         k = num_chunks - 1 - kk
@@ -370,9 +380,9 @@ def tiled_backward(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, p), lambda t, *_: (t, 0)),
-            pl.BlockSpec((1, p), lambda t, *_: (t, 0)),
-            pl.BlockSpec((1, p), lambda t, *_: (t, 0)),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
@@ -392,4 +402,12 @@ def tiled_backward(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_offsets, feats, basis, gimg_tiles, gt_tiles, tfin_tiles, last_tiles)[0]
+    )(
+        tile_offsets,
+        feats,
+        basis,
+        gimg_tiles,
+        gt_tiles[:, None],
+        tfin_tiles[:, None],
+        last_tiles[:, None],
+    )[0]
