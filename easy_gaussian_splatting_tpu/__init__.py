@@ -14,3 +14,11 @@ A from-scratch JAX / XLA / Pallas re-design of the capabilities of the reference
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# 3DGS compositing and its densification statistics are sensitive to matmul
+# precision; TPU's default bf16-pass matmuls cost ~1e-3 absolute error on
+# f32 inputs. Force full-f32 MXU passes framework-wide (the hot Pallas
+# kernels request f32 accumulation explicitly as well).
+_jax.config.update("jax_default_matmul_precision", "highest")

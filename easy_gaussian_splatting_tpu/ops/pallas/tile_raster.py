@@ -5,27 +5,28 @@ Replaces the CUDA rasterize kernels of the reference's external dependency
 compositing/backward math matches ``ops/rasterize_ref.py``, the oracle these
 kernels are tested against).
 
-Design notes (TPU, not CUDA):
-- the grid is one program per image tile; each program walks its CSR slice
-  of the depth-ordered intersection list in fixed-size chunks DMA'd from
-  HBM (variable per-tile work is natural in Pallas, impossible in plain
-  XLA without massive padding);
-- sigma over the tile's pixels is an [c, 8] x [8, P] MXU matmul against a
-  tile-local polynomial basis; color accumulation and the backward
-  reductions are MXU matmuls too;
-- in-chunk front-to-back ordering uses log-step (Hillis-Steele) cumulative
-  products — no atomics, no per-pixel serial loop;
-- early exit: a chunk loop terminates once every pixel in the tile has
-  saturated (transmittance below 1e-4), mirroring the per-pixel early stop;
-- the backward walks chunks in reverse, recovering transmittance by
-  division (alpha is clamped at 0.999, so 1-alpha >= 1e-3) exactly like the
-  classic hand-derived 3DGS backward, and emits per-intersection gradients
-  to non-overlapping rows (scatter-add back to Gaussians happens in XLA).
+Data layout (dictated by TPU tiling: VMEM/HBM tiles are (8 sublanes, 128
+lanes), and DMA windows must be 128-lane sized and 128-aligned):
+- per-intersection features are **feature-major** ``[24, I]``: feature rows
+  on sublanes, intersections on lanes, so a chunk is a ``[:, 128]`` window;
+  chunk starts are aligned down to 128 with per-lane range masking;
+- work arrays are ``[P, CH] = [tile_pixels, 128]``: pixels on sublanes,
+  intersections on lanes;
+- sigma is the MXU matmul ``basis [P, 8] @ poly [8, CH]`` against
+  tile-local polynomial coefficients (f32-exact in local coordinates);
+- in-chunk front-to-back ordering uses log-step (Hillis-Steele) scans along
+  the lane axis (lane shifts via concatenate — no atomics, no serial loop);
+- feature-row extraction uses iota-masked sums (unaligned sublane slicing
+  is not generally available in Mosaic);
+- the backward walks chunks in reverse, recovers transmittance by division
+  (alpha clamped at 0.999 keeps 1-alpha >= 1e-3), reduces over pixels on
+  the MXU, and read-merge-writes its aligned output windows so boundary
+  lanes shared with neighboring tiles are preserved (grid programs run
+  sequentially in ascending tile order, making this race-free).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -36,102 +37,136 @@ from jax.experimental.pallas import tpu as pltpu
 from ..rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
 
 CHUNK = 128
+NUM_FEATURES = 24
+# The tile-local polynomial expansion of sigma carries ~1e-4 cancellation
+# error; a hard `sigma >= 0` test would drop pixels right at a Gaussian's
+# center. Accept slightly-negative sigma and clamp the exponent instead
+# (genuinely broken conics produce large-negative sigma and still fail).
+SIGMA_EPS = 1e-3
+# feature rows: 0-5 sigma poly coeffs (px2, py2, pxpy, px, py, 1); 6,7 pad;
+# 8 opacity; 9,10,11 rgb; 12,13,14 conic a,b,c; 15 pad; 16 mx; 17 my
+ROW_OPACITY = 8
+ROW_COLOR = 9
+ROW_CONIC = 12
+ROW_MX = 16
+ROW_MY = 17
+# gradient rows in the backward output [16, I]:
+# 0 v_mx, 1 v_my, 2 v_a, 3 v_b, 4 v_c, 5 v_opac, 6-8 v_rgb, 9 v_absx,
+# 10 v_absy, 11-15 pad
+NUM_GRAD_FEATURES = 16
 
 
-def _cumprod0(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative product along axis 0 (log-step)."""
-    c = x.shape[0]
+def _shift_lanes(x: jnp.ndarray, shift: int, fill: float) -> jnp.ndarray:
+    """Shift right along the lane axis (axis 1), filling with ``fill``."""
+    pad = jnp.full(x.shape[:1] + (shift,), fill, x.dtype)
+    return jnp.concatenate([pad, x[:, :-shift]], axis=1)
+
+
+def _shift_lanes_left(x: jnp.ndarray, shift: int, fill: float) -> jnp.ndarray:
+    pad = jnp.full(x.shape[:1] + (shift,), fill, x.dtype)
+    return jnp.concatenate([x[:, shift:], pad], axis=1)
+
+
+def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along lanes (log-step)."""
+    c = x.shape[1]
     shift = 1
     while shift < c:
-        ones = jnp.ones((shift,) + x.shape[1:], x.dtype)
-        x = x * jnp.concatenate([ones, x[:-shift]], axis=0)
+        x = x * _shift_lanes(x, shift, 1.0)
         shift *= 2
     return x
 
 
-def _cumprod0_rev(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive reverse cumulative product along axis 0: out[i] = prod_{j>=i}."""
-    c = x.shape[0]
+def _cumprod_lanes_rev(x: jnp.ndarray) -> jnp.ndarray:
+    """out[:, i] = prod_{j >= i} x[:, j]."""
+    c = x.shape[1]
     shift = 1
     while shift < c:
-        ones = jnp.ones((shift,) + x.shape[1:], x.dtype)
-        x = x * jnp.concatenate([x[shift:], ones], axis=0)
+        x = x * _shift_lanes_left(x, shift, 1.0)
         shift *= 2
     return x
 
 
-def _cumsum0_rev(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive reverse cumulative sum along axis 0."""
-    c = x.shape[0]
+def _cumsum_lanes_rev(x: jnp.ndarray) -> jnp.ndarray:
+    c = x.shape[1]
     shift = 1
     while shift < c:
-        zeros = jnp.zeros((shift,) + x.shape[1:], x.dtype)
-        x = x + jnp.concatenate([x[shift:], zeros], axis=0)
+        x = x + _shift_lanes_left(x, shift, 0.0)
         shift *= 2
     return x
 
 
-def _prod0(x: jnp.ndarray) -> jnp.ndarray:
-    """Product along axis 0, keepdims — Mosaic has no reduce_prod, so use
-    the log-step cumulative product and take its last row."""
-    return _cumprod0(x)[-1:]
-
-
-def _cummax0(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative maximum along axis 0 (for the stop prefix)."""
-    c = x.shape[0]
+def _cummax_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    c = x.shape[1]
     shift = 1
     while shift < c:
-        neg = jnp.full((shift,) + x.shape[1:], -jnp.inf, x.dtype)
-        x = jnp.maximum(x, jnp.concatenate([neg, x[:-shift]], axis=0))
+        x = jnp.maximum(x, _shift_lanes(x, shift, -jnp.inf))
         shift *= 2
     return x
 
 
-def _chunk_alpha(buf, basis, rem):
-    """Shared per-chunk alpha evaluation. buf [c,16], basis [8,P], rem = valid
-    rows. Returns (alpha, elig, G, opac) with alpha zeroed when ineligible."""
-    c = buf.shape[0]
-    g6 = buf[:, 0:8]  # sigma polynomial coefficients (6 used)
+def _row(group: jnp.ndarray, idx: int) -> jnp.ndarray:
+    """Row ``idx`` of an [8, CH] value as [1, CH] via iota-masked sum."""
+    rowid = jax.lax.broadcasted_iota(jnp.int32, group.shape, 0)
+    return jnp.sum(
+        jnp.where(rowid == idx, group, 0.0), axis=0, keepdims=True
+    )
+
+
+def _rows3(group: jnp.ndarray, first: int) -> jnp.ndarray:
+    """Rows [first, first+3) of an [8, CH] value as [3, CH]."""
+    return jnp.concatenate(
+        [_row(group, first), _row(group, first + 1), _row(group, first + 2)],
+        axis=0,
+    )
+
+
+def _chunk_alpha(buf, basis, start, end, base):
+    """Shared alpha evaluation for one chunk.
+
+    buf: [24, CH] feature window; basis: [P, 8]; [start, end): the tile's
+    intersection range; base: global index of lane 0. Returns
+    (alpha [P,CH] zeroed when ineligible, elig, G, opac [1,CH], gpos [1,CH]).
+    """
+    poly = buf[0:8, :]  # [8, CH]
     sigma = jax.lax.dot_general(
-        g6,
-        basis,
-        (((1,), (0,)), ((), ())),
+        basis, poly, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [c, P]
-    G = jnp.exp(-sigma)
-    opac = buf[:, 6:7]  # [c, 1]
+    )  # [P, CH]
+    G = jnp.exp(-jnp.maximum(sigma, 0.0))
+    opac = _row(buf[8:16, :], ROW_OPACITY - 8)  # [1, CH]
     alpha_raw = opac * G
     alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
-    row = jax.lax.broadcasted_iota(jnp.int32, sigma.shape, 0)
-    elig = (sigma >= 0.0) & (alpha >= ALPHA_THRESH) & (row < rem)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sigma.shape[1]), 1)
+    gpos = base + lane  # [1, CH] global intersection index
+    in_range = (gpos >= start) & (gpos < end)
+    elig = (sigma >= -SIGMA_EPS) & (alpha >= ALPHA_THRESH) & in_range
     alpha = jnp.where(elig, alpha, 0.0)
-    return alpha, elig, G, opac
+    return alpha, elig, G, opac, gpos
 
 
 def _fwd_kernel(
     offsets_ref,  # scalar prefetch [T+1]
-    feats_ref,  # HBM [I_pad, 16]
-    basis_ref,  # VMEM [8, P]
-    rgb_ref,  # out [1, 3, P]
-    t_ref,  # out [1, 1, P]
-    last_ref,  # out [1, 1, P] int32
-    buf_ref,  # scratch VMEM [CHUNK, 16]
-    done_ref,  # scratch VMEM [1, P] float32 (0/1)
-    sem,  # DMA semaphore
+    feats_ref,  # HBM [24, I_pad]
+    basis_ref,  # VMEM [P, 8]
+    rgb_ref,  # out [1, P, 3]
+    t_ref,  # out [1, P, 1]
+    last_ref,  # out [1, P, 1] int32
+    buf_ref,  # scratch VMEM [24, CHUNK]
+    done_ref,  # scratch VMEM [P, 1] float32 (0/1)
+    sem,
 ):
     t = pl.program_id(0)
     start = offsets_ref[t]
     end = offsets_ref[t + 1]
-    n = end - start
-    p = basis_ref.shape[1]
+    astart = (start // CHUNK) * CHUNK
 
     rgb_ref[...] = jnp.zeros_like(rgb_ref)
     t_ref[...] = jnp.ones_like(t_ref)
     last_ref[...] = jnp.full_like(last_ref, -1)
     done_ref[...] = jnp.zeros_like(done_ref)
 
-    num_chunks = pl.cdiv(n, CHUNK)
+    num_chunks = pl.cdiv(end - astart, CHUNK)
 
     def cond(state):
         k, all_done = state
@@ -139,49 +174,58 @@ def _fwd_kernel(
 
     def body(state):
         k, _ = state
+        base = astart + k * CHUNK
         cp = pltpu.make_async_copy(
-            feats_ref.at[pl.ds(start + k * CHUNK, CHUNK), :], buf_ref, sem
+            feats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            buf_ref,
+            sem,
         )
         cp.start()
         cp.wait()
+        buf = buf_ref[...]
 
-        alpha, elig, _, _ = _chunk_alpha(
-            buf_ref[...], basis_ref[...], n - k * CHUNK
+        alpha, elig, _, _, gpos = _chunk_alpha(
+            buf, basis_ref[...], start, end, base
         )
-        om = 1.0 - alpha
-        cum_incl = _cumprod0(om)
-        cum_excl = jnp.concatenate(
-            [jnp.ones((1, p), jnp.float32), cum_incl[:-1]], axis=0
-        )
-        t_in = t_ref[0]  # [1, P]
+        om = 1.0 - alpha  # [P, CH]
+        cum_excl = _shift_lanes(_cumprod_lanes(om), 1, 1.0)
+        t_in = t_ref[0]  # [P, 1]
         t_g = t_in * cum_excl
         stop = elig & (t_g * om < T_EPS)
         stop_f = stop.astype(jnp.float32)
-        done_in = done_ref[...]  # [1, P]
-        done_incl = (_cummax0(stop_f) > 0.0) | (done_in > 0.0)
+        done_in = done_ref[...]  # [P, 1]
+        done_incl = (_cummax_lanes(stop_f) > 0.0) | (done_in > 0.0)
         comp = elig & jnp.logical_not(done_incl)
-        w = jnp.where(comp, alpha * t_g, 0.0)
+        w = jnp.where(comp, alpha * t_g, 0.0)  # [P, CH]
 
-        col = buf_ref[:, 7:10]  # [c, 3]
+        col = _rows3(buf[8:16, :], ROW_COLOR - 8)  # [3, CH]
         contrib = jax.lax.dot_general(
-            col, w, (((0,), (0,)), ((), ())),
+            w, col, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [3, P]
+        )  # [P, 3]
         rgb_ref[0] = rgb_ref[0] + contrib
 
-        t_ref[0] = t_in * _prod0(jnp.where(comp, om, 1.0))
+        om_eff = jnp.where(comp, om, 1.0)
+        t_ref[0] = t_in * _cumprod_lanes(om_eff)[:, -1:]
         done_new = jnp.maximum(
-            done_in, jnp.max(stop_f, axis=0, keepdims=True)
+            done_in, jnp.max(stop_f, axis=1, keepdims=True)
         )
         done_ref[...] = done_new
 
-        pos = start + k * CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (CHUNK, p), 0
-        )
+        # last contributor; relative positions fit f32 exactly
+        rel = (gpos - start).astype(jnp.float32)  # [1, CH]
         last_c = jnp.max(
-            jnp.where(comp, pos, -1), axis=0, keepdims=True
+            jnp.where(comp, jnp.broadcast_to(rel, comp.shape), -1.0),
+            axis=1,
+            keepdims=True,
+        )  # [P, 1]
+        last_new = jnp.maximum(
+            last_ref[0].astype(jnp.float32),
+            jnp.where(
+                last_c >= 0.0, last_c + start.astype(jnp.float32), -1.0
+            ),
         )
-        last_ref[0] = jnp.maximum(last_ref[0], last_c)
+        last_ref[0] = last_new.astype(jnp.int32)
 
         return k + 1, jnp.min(done_new) > 0.0
 
@@ -189,32 +233,29 @@ def _fwd_kernel(
 
 
 def tiled_forward(
-    feats: jnp.ndarray,  # [I_pad, 16] (padded by >= CHUNK zero rows)
+    feats: jnp.ndarray,  # [24, I_pad] (I_pad multiple of CHUNK, + CHUNK pad)
     tile_offsets: jnp.ndarray,  # [T+1] int32
-    basis: jnp.ndarray,  # [8, P]
+    basis: jnp.ndarray,  # [P, 8]
     num_tiles: int,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the forward kernel. Returns (rgb [T,3,P], final_T [T,P],
-    last_idx [T,P])."""
-    p = basis.shape[1]
-    # TPU block shapes must have (8,128)-divisible or full trailing dims;
-    # singleton middle dims keep per-tile blocks legal
+    """Returns (rgb [T,P,3], final_T [T,P], last_idx [T,P])."""
+    p = basis.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 3), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
-            pltpu.VMEM((1, p), jnp.float32),
+            pltpu.VMEM((NUM_FEATURES, CHUNK), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -222,184 +263,210 @@ def tiled_forward(
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.int32),
         ],
         interpret=interpret,
     )(tile_offsets, feats, basis)
-    # squeeze the singleton block dim: [T, 1, P] -> [T, P]
-    return rgb, tfin[:, 0], last[:, 0]
+    return rgb, tfin[..., 0], last[..., 0]
 
 
 def _bwd_kernel(
     offsets_ref,  # scalar prefetch [T+1]
-    feats_ref,  # HBM [I_pad, 16]
-    basis_ref,  # VMEM [8, P]
-    gimg_ref,  # VMEM block [1, 3, P]: dL/dimage for this tile
-    gt_ref,  # VMEM block [1, 1, P]: dL/dfinal_T
-    tfin_ref,  # VMEM block [1, 1, P]: forward final transmittance
-    last_ref,  # VMEM block [1, 1, P] int32: forward last contributor
-    dfeats_ref,  # HBM out [I_pad, 16]
-    tstate_ref,  # scratch VMEM [1, P]
-    sstate_ref,  # scratch VMEM [1, P]
-    buf_ref,  # scratch VMEM [CHUNK, 16]
-    dbuf_ref,  # scratch VMEM [CHUNK, 16]
+    feats_ref,  # HBM [24, I_pad]
+    basis_ref,  # VMEM [P, 8]
+    gimg_ref,  # VMEM block [1, 3, P]
+    gt_ref,  # VMEM block [1, P, 1]
+    tfin_ref,  # VMEM block [1, P, 1]
+    last_ref,  # VMEM block [1, P, 1] int32
+    dfeats_ref,  # HBM out [16, I_pad]
+    tstate_ref,  # scratch VMEM [P, 1]
+    sstate_ref,  # scratch VMEM [P, 1]
+    buf_ref,  # scratch VMEM [24, CHUNK]
+    dbuf_ref,  # scratch VMEM [16, CHUNK]
     sem_in,
     sem_out,
 ):
     t = pl.program_id(0)
     start = offsets_ref[t]
     end = offsets_ref[t + 1]
-    n = end - start
-    p = basis_ref.shape[1]
+    astart = (start // CHUNK) * CHUNK
 
     tstate_ref[...] = tfin_ref[0]
-    # suffix term: (g . bg + g_T) * T_fin; the background blend happens in
-    # XLA so its contribution arrives through gt_ref
+    # suffix term: g_T * T_fin (the background blend happens in XLA and its
+    # gradient arrives through gt_ref)
     sstate_ref[...] = gt_ref[0] * tfin_ref[0]
 
-    num_chunks = pl.cdiv(n, CHUNK)
+    num_chunks = pl.cdiv(end - astart, CHUNK)
     gimg = gimg_ref[0]  # [3, P]
-    last = last_ref[0]  # [1, P]
+    last = last_ref[0]  # [P, 1] int32
 
     def body(kk, _):
         k = num_chunks - 1 - kk
+        base = astart + k * CHUNK
         cp = pltpu.make_async_copy(
-            feats_ref.at[pl.ds(start + k * CHUNK, CHUNK), :], buf_ref, sem_in
+            feats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            buf_ref,
+            sem_in,
         )
         cp.start()
         cp.wait()
+        # read the current output window (merge-RMW for boundary lanes)
+        cp_r = pltpu.make_async_copy(
+            dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            dbuf_ref,
+            sem_out,
+        )
+        cp_r.start()
+        cp_r.wait()
+        prev_out = dbuf_ref[...]  # [16, CH]
         buf = buf_ref[...]
 
-        alpha, elig, G, opac = _chunk_alpha(buf, basis_ref[...], n - k * CHUNK)
-        pos = start + k * CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (CHUNK, p), 0
+        alpha, elig, G, opac, gpos = _chunk_alpha(
+            buf, basis_ref[...], start, end, base
         )
-        comp = elig & (pos <= last)
+        comp = elig & (gpos <= last)  # [P, CH]
         om = jnp.where(comp, 1.0 - alpha, 1.0)
         inv = 1.0 / om
-        rc = _cumprod0_rev(inv)  # [c, P]
+        rc = _cumprod_lanes_rev(inv)  # [P, CH]
         t_g = tstate_ref[...] * rc
         w = jnp.where(comp, alpha * t_g, 0.0)
 
-        col = buf[:, 7:10]  # [c, 3]
+        grp1 = buf[8:16, :]
+        col = _rows3(grp1, ROW_COLOR - 8)  # [3, CH]
         dotc = jax.lax.dot_general(
-            col, gimg, (((1,), (0,)), ((), ())),
+            gimg, col, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [c, P]
+        )  # [P, CH]
         dw = dotc * w
-        rs = _cumsum0_rev(dw) - dw  # sum over j > g within chunk
+        rs = _cumsum_lanes_rev(dw) - dw  # sum over j > g within chunk
         s_g = sstate_ref[...] + rs
         v_alpha = jnp.where(comp, dotc * t_g - s_g * inv, 0.0)
-        v_sigma = -G * opac * v_alpha  # [c, P]
+        v_sigma = -G * opac * v_alpha  # [P, CH]
 
-        # MXU reductions over pixels
+        # MXU reductions over pixels -> moment rows [8, CH]
         moments = jax.lax.dot_general(
-            v_sigma, basis_ref[...], (((1,), (1,)), ((), ())),
+            basis_ref[...], v_sigma, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [c, 8]: sums of v_sigma * (px2, py2, pxpy, px, py, 1, 0, 0)
+        )  # [8, CH]
         v_color = jax.lax.dot_general(
-            w, gimg, (((1,), (1,)), ((), ())),
+            gimg, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [c, 3]
-        v_opac = jnp.sum(G * v_alpha, axis=1, keepdims=True)  # [c, 1]
+        )  # [3, CH]
+        v_opac = jnp.sum(G * v_alpha, axis=0, keepdims=True)  # [1, CH]
 
-        # screen-mean gradients and absgrad (per-pixel absolute values)
-        a = buf[:, 10:11]
-        b = buf[:, 11:12]
-        cc = buf[:, 12:13]
-        mx = buf[:, 13:14]
-        my = buf[:, 14:15]
-        px = basis_ref[3:4, :]  # [1, P]
-        py = basis_ref[4:5, :]
-        dx = mx - px  # [c, P]
+        grp2 = buf[16:24, :]
+        a = _row(grp1, ROW_CONIC - 8)
+        b = _row(grp1, ROW_CONIC - 8 + 1)
+        cc = _row(grp1, ROW_CONIC - 8 + 2)
+        mx = _row(grp2, ROW_MX - 16)
+        my = _row(grp2, ROW_MY - 16)
+        px = basis_ref[:, 3:4]  # [P, 1] whole-column reads of the basis
+        py = basis_ref[:, 4:5]
+        dx = mx - px  # [P, CH]
         dy = my - py
         gx = v_sigma * (a * dx + b * dy)
         gy = v_sigma * (b * dx + cc * dy)
-        v_mx = jnp.sum(gx, axis=1, keepdims=True)
-        v_my = jnp.sum(gy, axis=1, keepdims=True)
-        v_absx = jnp.sum(jnp.abs(gx), axis=1, keepdims=True)
-        v_absy = jnp.sum(jnp.abs(gy), axis=1, keepdims=True)
+        v_mx = jnp.sum(gx, axis=0, keepdims=True)  # [1, CH]
+        v_my = jnp.sum(gy, axis=0, keepdims=True)
+        v_absx = jnp.sum(jnp.abs(gx), axis=0, keepdims=True)
+        v_absy = jnp.sum(jnp.abs(gy), axis=0, keepdims=True)
 
-        # conic gradients from the polynomial-coefficient moments
-        m0 = moments[:, 0:1]
-        m1 = moments[:, 1:2]
-        m2 = moments[:, 2:3]
-        m3 = moments[:, 3:4]
-        m4 = moments[:, 4:5]
-        m5 = moments[:, 5:6]
+        m0 = _row(moments, 0)
+        m1 = _row(moments, 1)
+        m2 = _row(moments, 2)
+        m3 = _row(moments, 3)
+        m4 = _row(moments, 4)
+        m5 = _row(moments, 5)
         v_a = 0.5 * m0 - mx * m3 + 0.5 * mx * mx * m5
         v_c = 0.5 * m1 - my * m4 + 0.5 * my * my * m5
         v_b = m2 - my * m3 - mx * m4 + mx * my * m5
 
         zeros = jnp.zeros_like(v_mx)
-        dbuf_ref[...] = jnp.concatenate(
+        new_out = jnp.concatenate(
             [
                 v_mx, v_my, v_a, v_b, v_c, v_opac,
-                v_color[:, 0:1], v_color[:, 1:2], v_color[:, 2:3],
+                _row(v_color, 0), _row(v_color, 1), _row(v_color, 2),
                 v_absx, v_absy, zeros, zeros, zeros, zeros, zeros,
             ],
-            axis=1,
-        )
-        cp_out = pltpu.make_async_copy(
+            axis=0,
+        )  # [16, CH]
+        in_range = (gpos >= start) & (gpos < end)  # [1, CH]
+        dbuf_ref[...] = jnp.where(in_range, new_out, prev_out)
+        cp_w = pltpu.make_async_copy(
             dbuf_ref,
-            dfeats_ref.at[pl.ds(start + k * CHUNK, CHUNK), :],
+            dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
             sem_out,
         )
-        cp_out.start()
-        cp_out.wait()
+        cp_w.start()
+        cp_w.wait()
 
-        tstate_ref[...] = tstate_ref[...] * rc[0:1]
-        sstate_ref[...] = sstate_ref[...] + jnp.sum(dw, axis=0, keepdims=True)
+        tstate_ref[...] = tstate_ref[...] * rc[:, 0:1]
+        sstate_ref[...] = sstate_ref[...] + jnp.sum(
+            dw, axis=1, keepdims=True
+        )
         return 0
 
     jax.lax.fori_loop(0, num_chunks, body, 0)
 
 
 def tiled_backward(
-    feats: jnp.ndarray,  # [I_pad, 16]
+    feats: jnp.ndarray,  # [24, I_pad]
     tile_offsets: jnp.ndarray,  # [T+1]
-    basis: jnp.ndarray,  # [8, P]
+    basis: jnp.ndarray,  # [P, 8]
     gimg_tiles: jnp.ndarray,  # [T, 3, P]
     gt_tiles: jnp.ndarray,  # [T, P]
     tfin_tiles: jnp.ndarray,  # [T, P]
     last_tiles: jnp.ndarray,  # [T, P] int32
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the backward kernel. Returns per-intersection gradient features
-    [I_pad, 16]: (v_mx, v_my, v_a, v_b, v_c, v_opac, v_r, v_g, v_b_color,
-    v_absx, v_absy, 0 x5). Rows past the last valid intersection hold
-    garbage — the caller masks by intersection count."""
+    """Returns per-intersection gradient rows [16, I_pad] (layout above).
+    Lanes outside every tile's range keep zeros (merge-writes + a zero-
+    initialized aliased output)."""
     num_tiles = gimg_tiles.shape[0]
-    p = basis.shape[1]
+    p = basis.shape[0]
+    i_pad = feats.shape[1]
+    zeros_init = jnp.zeros((NUM_GRAD_FEATURES, i_pad), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # zeros init, aliased
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((NUM_FEATURES, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_GRAD_FEATURES, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
+
+    def kernel(offsets, feats_r, basis_r, gimg_r, gt_r, tfin_r, last_r,
+               zeros_r, dfeats_r, *rest):
+        del zeros_r
+        _bwd_kernel(
+            offsets, feats_r, basis_r, gimg_r, gt_r, tfin_r, last_r,
+            dfeats_r, *rest,
+        )
+
     return pl.pallas_call(
-        _bwd_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(feats.shape, jnp.float32),
+            jax.ShapeDtypeStruct((NUM_GRAD_FEATURES, i_pad), jnp.float32),
         ],
+        # alias the zeros input to the output so untouched lanes read as 0
+        input_output_aliases={7: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
@@ -407,7 +474,8 @@ def tiled_backward(
         feats,
         basis,
         gimg_tiles,
-        gt_tiles[:, None],
-        tfin_tiles[:, None],
-        last_tiles[:, None],
+        gt_tiles[..., None],
+        tfin_tiles[..., None],
+        last_tiles[..., None],
+        zeros_init,
     )[0]

@@ -41,10 +41,9 @@ DEFAULT_TILE = 32
 DEFAULT_MAX_TILES_W = 6
 DEFAULT_MAX_TILES_H = 6
 
-# feature layout of the per-intersection matrix (padded to 16 lanes)
-# 0..5: sigma polynomial coeffs (px2, py2, pxpy, px, py, 1) in tile-local px
-# 6: opacity, 7..9: rgb, 10..12: conic (a,b,c), 13..14: tile-local mean xy
-NUM_FEATURES = 16
+# The per-intersection feature matrix is FEATURE-MAJOR [24, I] (rows on
+# sublanes, intersections on lanes) — see pallas/tile_raster.py for the row
+# layout; TPU DMA windows must be 128-lane slices, which this layout gives.
 
 
 class TiledGeometry(NamedTuple):
@@ -155,8 +154,9 @@ def pack_features(
     binning: Binning,
     geom: TiledGeometry,
 ) -> jnp.ndarray:
-    """Per-intersection feature matrix [I, 16] with tile-local sigma
-    polynomial coefficients. Differentiable w.r.t. the float inputs."""
+    """Per-intersection feature matrix [24, I], feature-major, with
+    tile-local sigma polynomial coefficients. Differentiable w.r.t. the
+    float inputs."""
     ranks = binning.isect_rank
     tiles = jnp.minimum(binning.isect_tile, geom.num_tiles - 1)
     ox = (tiles % geom.tiles_x).astype(jnp.float32) * geom.tile_size
@@ -174,33 +174,37 @@ def pack_features(
     my = m2d[:, 1] - oy
     a, b, cc = con[:, 0], con[:, 1], con[:, 2]
 
+    zero = jnp.zeros_like(mx)
     feats = jnp.stack(
         [
-            0.5 * a,  # * px^2
-            0.5 * cc,  # * py^2
-            b,  # * px*py
-            -(a * mx + b * my),  # * px
-            -(cc * my + b * mx),  # * py
-            0.5 * a * mx * mx + 0.5 * cc * my * my + b * mx * my,  # * 1
-            opa,
-            col[:, 0],
-            col[:, 1],
-            col[:, 2],
-            a,
-            b,
-            cc,
-            mx,
-            my,
-            jnp.zeros_like(mx),
+            0.5 * a,  # 0: * px^2
+            0.5 * cc,  # 1: * py^2
+            b,  # 2: * px*py
+            -(a * mx + b * my),  # 3: * px
+            -(cc * my + b * mx),  # 4: * py
+            0.5 * a * mx * mx + 0.5 * cc * my * my + b * mx * my,  # 5: * 1
+            zero,  # 6
+            zero,  # 7
+            opa,  # 8
+            col[:, 0],  # 9
+            col[:, 1],  # 10
+            col[:, 2],  # 11
+            a,  # 12
+            b,  # 13
+            cc,  # 14
+            zero,  # 15
+            mx,  # 16
+            my,  # 17
+            zero, zero, zero, zero, zero, zero,  # 18-23
         ],
-        axis=-1,
+        axis=0,
     )
     return feats
 
 
 def tile_pixel_basis(geom: TiledGeometry) -> jnp.ndarray:
-    """[8, P_tile] polynomial basis over tile-local pixel centers:
-    rows (px^2, py^2, px*py, px, py, 1, 0, 0)."""
+    """[P_tile, 8] polynomial basis over tile-local pixel centers:
+    columns (px^2, py^2, px*py, px, py, 1, 0, 0)."""
     ts = geom.tile_size
     px = jnp.arange(ts, dtype=jnp.float32) + 0.5
     py = jnp.arange(ts, dtype=jnp.float32) + 0.5
@@ -211,7 +215,7 @@ def tile_pixel_basis(geom: TiledGeometry) -> jnp.ndarray:
     zeros = jnp.zeros_like(px_f)
     return jnp.stack(
         [px_f * px_f, py_f * py_f, px_f * py_f, px_f, py_f, ones, zeros, zeros],
-        axis=0,
+        axis=1,
     )
 
 
@@ -279,7 +283,9 @@ def _prepare(
     col_s = colors[binning.order]
     opa_s = opacities[binning.order]
     feats = pack_features(m2d_s, con_s, col_s, opa_s, sliced, geom)
-    feats = jnp.pad(feats, ((0, CHUNK), (0, 0)))  # DMA overrun guard
+    # pad lanes so aligned-down DMA windows never run past the array
+    i_pad = -(-isect_cap // CHUNK) * CHUNK + CHUNK
+    feats = jnp.pad(feats, ((0, 0), (0, i_pad - feats.shape[1])))
     return geom, sliced, feats
 
 
@@ -298,9 +304,7 @@ def _tiled_impl(
         feats, binning.tile_offsets, basis, geom.num_tiles,
         interpret=interpret,
     )
-    img = tiles_to_image(
-        jnp.swapaxes(rgb_t, 1, 2), geom, height, width
-    )  # [H, W, 3]
+    img = tiles_to_image(rgb_t, geom, height, width)  # [H, W, 3]
     final_t = tiles_to_image(tfin_t, geom, height, width)
     return img, final_t, (binning, tfin_t, last_t)
 
@@ -353,7 +357,8 @@ def _core_bwd(
     col_s = colors[binning.order]
     opa_s = opacities[binning.order]
     feats = pack_features(m2d_s, con_s, col_s, opa_s, binning, geom)
-    feats = jnp.pad(feats, ((0, CHUNK), (0, 0)))
+    i_pad = -(-isect_cap // CHUNK) * CHUNK + CHUNK
+    feats = jnp.pad(feats, ((0, 0), (0, i_pad - feats.shape[1])))
     basis = tile_pixel_basis(geom)
 
     gimg_t = jnp.swapaxes(
@@ -364,16 +369,13 @@ def _core_bwd(
     dfeats = tiled_backward(
         feats, binning.tile_offsets, basis, gimg_t, gt_t, tfin_t, last_t,
         interpret=interpret,
-    )
-    n_valid = jnp.minimum(binning.num_isects, isect_cap)
-    valid = (
-        jnp.arange(dfeats.shape[0], dtype=jnp.int32) < n_valid
-    )[:, None]
-    dfeats = jnp.where(valid, dfeats, 0.0)
+    )  # [16, I_pad]; lanes outside every tile's range are zero
 
     c = means2d.shape[0]
     dsum = jnp.zeros((c, 16), jnp.float32)
-    dsum = dsum.at[binning.isect_rank].add(dfeats[: binning.isect_rank.shape[0]])
+    dsum = dsum.at[binning.isect_rank].add(
+        jnp.swapaxes(dfeats, 0, 1)[: binning.isect_rank.shape[0]]
+    )
 
     def unsort(x_s):
         return jnp.zeros_like(x_s).at[binning.order].set(x_s)
