@@ -1,0 +1,93 @@
+"""Benchmark: full training-step throughput of the TPU-native 3DGS stack.
+
+Self-contained (no dataset needed): builds a mid-training-scale synthetic
+scene (100k Gaussians, 800x800 camera — the nerf_synthetic regime the
+reference trains at, ``/root/reference/configs/nerf_synthetic.yaml``) and
+times the complete jitted train step — projection, binning, tiled Pallas
+rasterization forward+backward, SSIM+L1 loss, densify statistics, grouped
+Adam — end to end on the attached chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against 10 train iters/s, the approximate
+single-GPU rate of the torch+gsplat reference at this workload (the
+reference publishes no speed numbers — SURVEY.md §6 — so this is the
+working estimate recorded in BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from easy_gaussian_splatting_tpu.models.gaussians import (
+        init_gaussian_state,
+    )
+    from easy_gaussian_splatting_tpu.models.optimizer import init_adam_state
+    from easy_gaussian_splatting_tpu.training.config import config_from_dict
+    from easy_gaussian_splatting_tpu.training.trainer import (
+        get_render_fn,
+        make_train_step,
+    )
+
+    n, h, w = 100_000, 800, 800
+    rng = np.random.default_rng(0)
+    xyzs = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
+    rgbs = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+    model = init_gaussian_state(xyzs, rgbs, sh_degree=3)
+    adam = init_adam_state(model.params)
+    cfg = config_from_dict(dict(renderer="tiled", white_background=True))
+    step_fn = make_train_step(cfg, get_render_fn(cfg))
+
+    K = jnp.array(
+        [[1111.0, 0, w / 2], [0, 1111.0, h / 2], [0, 0, 1.0]], jnp.float32
+    )
+    w2c = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
+    image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    mask = jnp.zeros((h, w), jnp.float32)
+
+    def one(model, adam):
+        return step_fn(
+            model, adam, w2c, K, image, mask,
+            np.float32(1e-3), np.bool_(True), np.bool_(False),
+            np.bool_(False),
+            height=h, width=w, sh_degree=3,
+        )
+
+    model, adam, ld = one(model, adam)  # compile
+    jax.block_until_ready(ld)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model, adam, ld = one(model, adam)
+    jax.block_until_ready(ld)
+    dt = (time.perf_counter() - t0) / iters
+    its = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_iters_per_sec",
+                "value": round(its, 3),
+                "unit": "it/s",
+                "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
+                "detail": {
+                    "step_ms": round(dt * 1e3, 2),
+                    "gaussians": n,
+                    "image": f"{w}x{h}",
+                    "mpix_per_s": round(h * w * its / 1e6, 2),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -37,12 +37,20 @@ def _knn_dists_device(points: jnp.ndarray, k: int, chunk: int) -> jnp.ndarray:
             + sq_norms[None, :]
             - 2.0 * jnp.dot(q, points.T, preferred_element_type=jnp.float32)
         )  # [c, N]
-        # exclude self (distance ~0 at own index); take k smallest
+        # exclude self (distance ~0 at own index); take k smallest.
+        # k passes of min-extraction: far cheaper on TPU than lax.top_k,
+        # which lowers to a full sort along the N axis.
         row_ids = i * chunk + jnp.arange(chunk)
         self_mask = row_ids[:, None] == jnp.arange(n)[None, :]
         d2 = jnp.where(self_mask, jnp.inf, d2)
-        neg_topk, _ = jax.lax.top_k(-d2, k)  # [c, k]
-        dists = jnp.sqrt(jnp.maximum(-neg_topk, 0.0))
+        cols = jnp.arange(n)[None, :]
+        mins = []
+        for _ in range(k):
+            m = jnp.min(d2, axis=1)  # [c]
+            am = jnp.argmin(d2, axis=1)  # [c]
+            mins.append(m)
+            d2 = jnp.where(cols == am[:, None], jnp.inf, d2)
+        dists = jnp.sqrt(jnp.maximum(jnp.stack(mins, axis=1), 0.0))
         return jax.lax.dynamic_update_slice_in_dim(out, dists, i * chunk, axis=0)
 
     out = jnp.zeros((n_chunks * chunk, k), jnp.float32)

@@ -156,16 +156,23 @@ def pack_features(
 ) -> jnp.ndarray:
     """Per-intersection feature matrix [24, I], feature-major, with
     tile-local sigma polynomial coefficients. Differentiable w.r.t. the
-    float inputs."""
+    float inputs.
+
+    TPU gathers are expensive, so the four per-Gaussian arrays are packed
+    into one [C, 9] matrix and gathered by intersection rank ONCE."""
     ranks = binning.isect_rank
     tiles = jnp.minimum(binning.isect_tile, geom.num_tiles - 1)
     ox = (tiles % geom.tiles_x).astype(jnp.float32) * geom.tile_size
     oy = (tiles // geom.tiles_x).astype(jnp.float32) * geom.tile_size
 
-    m2d = m2d_s[ranks]
-    con = conics_s[ranks]
-    col = colors_s[ranks]
-    opa = opac_s[ranks]
+    g9 = jnp.concatenate(
+        [m2d_s, conics_s, colors_s, opac_s[:, None]], axis=1
+    )  # [C, 9]
+    gi = g9[ranks]  # [I, 9] — the one big gather
+    m2d = gi[:, 0:2]
+    con = gi[:, 2:5]
+    col = gi[:, 5:8]
+    opa = gi[:, 8]
     # invalid intersections: zero opacity so the kernel skips them
     invalid = binning.isect_tile >= geom.num_tiles
     opa = jnp.where(invalid, 0.0, opa)
@@ -278,11 +285,13 @@ def _prepare(
         tile_offsets=jnp.minimum(binning.tile_offsets, isect_cap),
         num_isects=binning.num_isects,
     )
-    m2d_s = means2d[binning.order]
-    con_s = conics[binning.order]
-    col_s = colors[binning.order]
-    opa_s = opacities[binning.order]
-    feats = pack_features(m2d_s, con_s, col_s, opa_s, sliced, geom)
+    g9 = jnp.concatenate(
+        [means2d, conics, colors, opacities[:, None]], axis=1
+    )  # [C, 9]
+    g9_s = g9[binning.order]  # one gather for the depth sort
+    feats = pack_features(
+        g9_s[:, 0:2], g9_s[:, 2:5], g9_s[:, 5:8], g9_s[:, 8], sliced, geom
+    )
     # pad lanes so aligned-down DMA windows never run past the array
     i_pad = -(-isect_cap // CHUNK) * CHUNK + CHUNK
     feats = jnp.pad(feats, ((0, 0), (0, i_pad - feats.shape[1])))
@@ -306,7 +315,7 @@ def _tiled_impl(
     )
     img = tiles_to_image(rgb_t, geom, height, width)  # [H, W, 3]
     final_t = tiles_to_image(tfin_t, geom, height, width)
-    return img, final_t, (binning, tfin_t, last_t)
+    return img, final_t, (binning, feats, tfin_t, last_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
@@ -326,15 +335,12 @@ def _core_fwd(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
 ):
-    img, final_t, (binning, tfin_t, last_t) = _tiled_impl(
+    img, final_t, (binning, feats, tfin_t, last_t) = _tiled_impl(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
         interpret,
     )
-    residuals = (
-        means2d, conics, colors, opacities, radii, depths,
-        binning, tfin_t, last_t,
-    )
+    residuals = (radii, depths, binning, feats, tfin_t, last_t)
     return (img, final_t), residuals
 
 
@@ -344,21 +350,9 @@ def _core_bwd(
 ):
     from .pallas.tile_raster import CHUNK, tiled_backward
 
-    (
-        means2d, conics, colors, opacities, radii, depths,
-        binning, tfin_t, last_t,
-    ) = residuals
+    (radii, depths, binning, feats, tfin_t, last_t) = residuals
     g_img, g_t = cotangents
     geom = image_geometry(height, width, tile_size)
-
-    # recompute the packed features (cheaper than storing them)
-    m2d_s = means2d[binning.order]
-    con_s = conics[binning.order]
-    col_s = colors[binning.order]
-    opa_s = opacities[binning.order]
-    feats = pack_features(m2d_s, con_s, col_s, opa_s, binning, geom)
-    i_pad = -(-isect_cap // CHUNK) * CHUNK + CHUNK
-    feats = jnp.pad(feats, ((0, 0), (0, i_pad - feats.shape[1])))
     basis = tile_pixel_basis(geom)
 
     gimg_t = jnp.swapaxes(
@@ -371,7 +365,7 @@ def _core_bwd(
         interpret=interpret,
     )  # [16, I_pad]; lanes outside every tile's range are zero
 
-    c = means2d.shape[0]
+    c = radii.shape[0]
     dsum = jnp.zeros((c, 16), jnp.float32)
     dsum = dsum.at[binning.isect_rank].add(
         jnp.swapaxes(dfeats, 0, 1)[: binning.isect_rank.shape[0]]
@@ -399,7 +393,7 @@ def rasterize_tiled(
     tile_size: int = DEFAULT_TILE,
     max_tiles_w: int = DEFAULT_MAX_TILES_W,
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
-    isect_mult: int = 8,
+    isect_mult: int = 4,
     interpret: bool | None = None,
 ):
     """Tiled rasterization with the unified rasterizer signature (see
@@ -421,7 +415,7 @@ def make_tiled_render_fn(
     tile_size: int = DEFAULT_TILE,
     max_tiles_w: int = DEFAULT_MAX_TILES_W,
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
-    isect_mult: int = 8,
+    isect_mult: int = 4,
     interpret: bool | None = None,
 ):
     """Render function (models/render.py signature) using the tiled Pallas

@@ -60,7 +60,12 @@ def get_render_fn(cfg: Config) -> Callable:
     if cfg.renderer == "tiled":
         from ..ops.rasterize_tiled import make_tiled_render_fn
 
-        return make_tiled_render_fn(tile_size=cfg.tile_size)
+        return make_tiled_render_fn(
+            tile_size=cfg.tile_size,
+            max_tiles_w=cfg.max_tiles,
+            max_tiles_h=cfg.max_tiles,
+            isect_mult=cfg.isect_mult,
+        )
     return functools.partial(render, chunk=cfg.raster_chunk)
 
 
