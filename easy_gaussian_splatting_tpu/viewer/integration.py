@@ -1,0 +1,94 @@
+"""Viewer <-> model integration.
+
+Behavioral spec (``/root/reference/train.py:167-186``,
+``/root/reference/launch_viewer.py``, ``/root/reference/utils.py:28-45``):
+build a render closure over the Gaussian model for arbitrary viewer
+cameras, load ``cameras.json``, and construct the Viewer (training mode
+wraps the closure in DelayRender)."""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+from .camera import CameraState
+from .server import Viewer
+
+logger = logging.getLogger(__name__)
+
+
+def load_camera_states(path: Path) -> List[CameraState]:
+    camera_states = []
+    with open(Path(path) / "cameras.json", "r") as f:
+        for cam in json.load(f):
+            c2w = np.eye(4)
+            c2w[:3, :3] = np.array(cam["rotation"])
+            c2w[:3, 3] = np.array(cam["position"])
+            w2c = np.linalg.inv(c2w)
+            K = np.array(
+                [
+                    [cam["fx"], 0, cam["width"] / 2],
+                    [0, cam["fy"], cam["height"] / 2],
+                    [0, 0, 1],
+                ],
+                np.float32,
+            )
+            camera_states.append(
+                CameraState(w2c, K, cam["width"], cam["height"])
+            )
+    return camera_states
+
+
+def make_gs_render_func(get_state, get_sh_degree, background, render_fn):
+    """Render closure over (possibly training) model state. ``get_state`` /
+    ``get_sh_degree`` are callables so the training loop's latest state is
+    picked up (the reference reads the live module the same way)."""
+    import jax.numpy as jnp
+
+    from ..models.render import CameraView
+
+    def gs_render_func(camera_state: CameraState) -> np.ndarray:
+        state = get_state()
+        out = render_fn(
+            state.params,
+            state.alive,
+            CameraView(
+                w2c=jnp.asarray(camera_state.w2c, jnp.float32),
+                K=jnp.asarray(camera_state.K, jnp.float32),
+                width=int(camera_state.width),
+                height=int(camera_state.height),
+            ),
+            get_sh_degree(),
+            background,
+            jnp.zeros((state.capacity, 2), jnp.float32),
+        )
+        return np.asarray(out.image)
+
+    return gs_render_func
+
+
+def construct_training_viewer(loop, cfg, output_dir: Path) -> Viewer:
+    import jax.numpy as jnp
+
+    from ..training.trainer import get_render_fn
+
+    camera_states = load_camera_states(output_dir)
+    background = jnp.full(
+        (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
+    )
+    render_func = make_gs_render_func(
+        lambda: loop.model,
+        lambda: loop.active_sh_degree,
+        background,
+        get_render_fn(cfg),
+    )
+    return Viewer(
+        render_func,
+        camera_states,
+        in_training_mode=True,
+        video_output_dir=output_dir / "videos",
+    )
