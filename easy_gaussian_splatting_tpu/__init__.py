@@ -15,6 +15,8 @@ A from-scratch JAX / XLA / Pallas re-design of the capabilities of the reference
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # 3DGS compositing and its densification statistics are sensitive to matmul
@@ -22,3 +24,14 @@ import jax as _jax
 # f32 inputs. Force full-f32 MXU passes framework-wide (the hot Pallas
 # kernels request f32 accumulation explicitly as well).
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: XLA compiles of the fused train step take
+# ~1 min (more over a remote-TPU tunnel); cache them across processes.
+if _os.environ.get("EGS_TPU_NO_COMPILE_CACHE", "") != "1":
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/egs_tpu_xla"),
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

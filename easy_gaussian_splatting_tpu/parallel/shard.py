@@ -105,10 +105,14 @@ def make_sharded_train_step(
             (total, (ld, radii)), grads = jax.value_and_grad(
                 per_chip_loss, argnums=(0, 2), has_aux=True
             )(params, alive, absdummy, w2c, K, image, mask, sh_degree)
-            # params are replicated inputs, so their per-chip gradients
-            # must be summed to match the replicated-output contract
+            # The loss is computed redundantly on every chip from the
+            # gathered image, so the all_gather transpose reduce-scatters
+            # n identical cotangents: each chip's gradient is n x its
+            # stripe's true contribution. psum then over-counts by another
+            # factor of n in total -> normalize (validated against the
+            # single-device step in tests/test_parallel.py).
             grads = jax.tree.map(
-                lambda g: jax.lax.psum(g, TILE_AXIS), grads
+                lambda g: jax.lax.psum(g, TILE_AXIS) / float(n_dev), grads
             )
             ld = jax.tree.map(lambda x: jax.lax.pmean(x, TILE_AXIS), ld)
             return grads, ld, radii

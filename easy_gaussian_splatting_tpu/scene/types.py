@@ -28,6 +28,21 @@ class Pointcloud:
     def nbr_points(self) -> int:
         return int(self.xyzs.shape[0])
 
+    def show(self, show_colors: bool = True, point_size: float = 1.0):
+        """Interactive 3D scatter of the point cloud (debug helper; the
+        reference uses open3d, unavailable here — matplotlib instead)."""
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+        colors = self.rgbs / 255.0 if show_colors else None
+        ax.scatter(
+            self.xyzs[:, 0], self.xyzs[:, 1], self.xyzs[:, 2],
+            c=colors, s=point_size,
+        )
+        plt.show()
+        plt.close(fig)
+
 
 @dataclasses.dataclass
 class Frame:
@@ -78,6 +93,33 @@ class Frame:
             "image": image,
             "mask": mask,
         }
+
+    def show_image(self):
+        """Debug helper: display the frame's image."""
+        import matplotlib.pyplot as plt
+
+        plt.imshow(load_image(self.image_path, self.white_background))
+        plt.show()
+        plt.close()
+
+    def show_mask(self, alpha: float = 0.6):
+        """Debug helper: display the image with the (dilated) mask
+        overlaid in red."""
+        import matplotlib.pyplot as plt
+
+        if self.mask_path is None:
+            raise ValueError("mask_path is None")
+        image = load_image(self.image_path, self.white_background).astype(
+            np.float32
+        )
+        mask = load_mask(self.mask_path, self.mask_expand_pixels)[
+            ..., None
+        ].astype(np.float32)
+        color = np.array([220.0, 40.0, 40.0])[None, None]
+        a = alpha * mask
+        plt.imshow(((1 - a) * image + a * color).astype(np.uint8))
+        plt.show()
+        plt.close()
 
     def to_json(self, id: int) -> Dict[str, Any]:
         c2w = np.linalg.inv(self.w2c)

@@ -223,11 +223,17 @@ def run_densify_with_growth(
         loop.adam = grow_adam_state(loop.adam, new_cap - cap)
 
 
-def train(cfg: Config, scene=None) -> TrainLoopState:
-    """Full training run. Returns the final loop state (also checkpointed)."""
+def train(
+    cfg: Config, scene=None, resume_from: Optional[str] = None
+) -> TrainLoopState:
+    """Full training run. Returns the final loop state (also checkpointed).
+
+    ``resume_from``: path to a checkpoint saved with optimizer state —
+    training continues from its step (a capability the reference lacks,
+    SURVEY.md §5.4)."""
     from ..evaluation.evaluator import Evaluator
     from ..scene.scene import Scene, prefetch_frames
-    from ..utils.checkpoint import save_checkpoint
+    from ..utils.checkpoint import load_checkpoint, save_checkpoint
     from ..utils.tb import create_tb_writer, tb_report
 
     if scene is None:
@@ -246,23 +252,58 @@ def train(cfg: Config, scene=None) -> TrainLoopState:
             blender_init_points=cfg.blender_init_points,
         )
 
-    capacity = cfg.initial_capacity if cfg.initial_capacity > 0 else None
-    model = init_gaussian_state(
-        scene.pc.xyzs, scene.pc.rgbs, cfg.sh_degree, capacity=capacity
-    )
-    logger.info(
-        f"initialized {scene.pc.nbr_points} gaussians "
-        f"(capacity {model.capacity})"
-    )
-    adam = init_adam_state(model.params)
-    loop = TrainLoopState(
-        model=model,
-        adam=adam,
-        active_sh_degree=0 if cfg.sh_degree_interval != 0 else cfg.sh_degree,
-    )
+    if resume_from is not None:
+        model, sh_deg, start_step, adam = load_checkpoint(Path(resume_from))
+        if adam is None:
+            raise ValueError(
+                f"checkpoint {resume_from} has no optimizer state; save "
+                "with save_optimizer_state: true to enable resume"
+            )
+        logger.info(
+            f"resumed from {resume_from} at step {start_step} "
+            f"({int(model.num_alive())} gaussians)"
+        )
+        loop = TrainLoopState(
+            model=model, adam=adam, active_sh_degree=sh_deg, step=start_step
+        )
+    else:
+        capacity = cfg.initial_capacity if cfg.initial_capacity > 0 else None
+        model = init_gaussian_state(
+            scene.pc.xyzs, scene.pc.rgbs, cfg.sh_degree, capacity=capacity
+        )
+        logger.info(
+            f"initialized {scene.pc.nbr_points} gaussians "
+            f"(capacity {model.capacity})"
+        )
+        adam = init_adam_state(model.params)
+        loop = TrainLoopState(
+            model=model,
+            adam=adam,
+            active_sh_degree=(
+                0 if cfg.sh_degree_interval != 0 else cfg.sh_degree
+            ),
+        )
 
     render_fn = get_render_fn(cfg)
     train_step = make_train_step(cfg, render_fn)
+
+    # optional multi-chip mesh ("tiles:N"): image stripes sharded per chip
+    mesh = None
+    sharded_steps = {}
+    if cfg.mesh_shape:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.shard import make_sharded_train_step
+
+        n_dev = int(cfg.mesh_shape.split(":")[1])
+        mesh = make_mesh(n_dev)
+        logger.info(f"training on a {n_dev}-device mesh (image stripes)")
+
+        def get_sharded_step(h, w):
+            if (h, w) not in sharded_steps:
+                sharded_steps[(h, w)] = make_sharded_train_step(
+                    cfg, mesh, render_fn, h, w
+                )
+            return sharded_steps[(h, w)]
     densify_step = make_densify_step(cfg)
     means_lr = log_lerp_schedule(
         cfg.means_lr_init, cfg.means_lr_final, cfg.means_lr_schedule_max_steps
@@ -305,21 +346,45 @@ def train(cfg: Config, scene=None) -> TrainLoopState:
             and (step - cfg.refine_start) % cfg.reset_opacities_every == 0
         )
 
-        loop.model, loop.adam, ld = train_step(
-            loop.model,
-            loop.adam,
-            jnp.asarray(data["w2c"]),
-            jnp.asarray(data["K"]),
-            jnp.asarray(data["image"]),
-            jnp.asarray(data["mask"]),
-            np.float32(means_lr(step)),
-            np.bool_(in_refine),
-            np.bool_(densify_now),
-            np.bool_(reset_now),
-            height=data["height"],
-            width=data["width"],
-            sh_degree=loop.active_sh_degree,
-        )
+        if mesh is not None:
+            # pad rows to a stripe multiple; padded rows are masked out
+            n_dev = mesh.devices.size
+            h = data["height"]
+            hp = -(-h // n_dev) * n_dev
+            image = np.zeros((hp, data["width"], 3), np.float32)
+            image[:h] = data["image"]
+            mask_arr = np.ones((hp, data["width"]), np.float32)
+            mask_arr[:h] = data["mask"]
+            sstep = get_sharded_step(hp, data["width"])
+            loop.model, loop.adam, ld = sstep(
+                loop.model,
+                loop.adam,
+                jnp.asarray(data["w2c"]),
+                jnp.asarray(data["K"]),
+                jnp.asarray(image),
+                jnp.asarray(mask_arr),
+                np.float32(means_lr(step)),
+                np.bool_(in_refine),
+                np.bool_(densify_now),
+                np.bool_(reset_now),
+                sh_degree=loop.active_sh_degree,
+            )
+        else:
+            loop.model, loop.adam, ld = train_step(
+                loop.model,
+                loop.adam,
+                jnp.asarray(data["w2c"]),
+                jnp.asarray(data["K"]),
+                jnp.asarray(data["image"]),
+                jnp.asarray(data["mask"]),
+                np.float32(means_lr(step)),
+                np.bool_(in_refine),
+                np.bool_(densify_now),
+                np.bool_(reset_now),
+                height=data["height"],
+                width=data["width"],
+                sh_degree=loop.active_sh_degree,
+            )
 
         log_now = (
             step == 1

@@ -1,0 +1,243 @@
+"""Procedural dataset generation for end-to-end validation.
+
+This environment has no network egress and ships no datasets, so full-
+pipeline validation (loaders -> training -> densify -> eval -> checkpoints)
+runs on procedurally generated scenes: a colorful ground-truth Gaussian
+scene is rendered with the oracle renderer from a ring of cameras and
+written out in the exact on-disk formats the loaders consume —
+Blender (``transforms_*.json`` + PNGs) and COLMAP (``sparse/0/*.bin``
+binaries + images). A model trained on these scenes must reach high PSNR,
+which exercises every subsystem the reference exercises on nerf_synthetic
+and tandt_db.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+
+def make_gt_gaussians(n: int = 300, seed: int = 0):
+    """A colorful, fittable ground-truth Gaussian scene inside [-1, 1]^3."""
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
+    scales = rng.uniform(0.04, 0.14, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    colors = rng.uniform(0.05, 0.95, size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.5, 0.95, size=(n,)).astype(np.float32)
+    return means, scales, quats, colors, opac
+
+
+def _lookat_w2c(pos: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """OpenCV-convention world->camera: z forward, y down."""
+    z = target - pos
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, -1.0, 0.0])
+    x = np.cross(up, z)
+    if np.linalg.norm(x) < 1e-6:
+        x = np.array([1.0, 0.0, 0.0])
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, pos
+    return np.linalg.inv(c2w)
+
+
+def ring_cameras(n: int, radius: float = 3.2, height_jitter: float = 0.8,
+                 seed: int = 1) -> np.ndarray:
+    """n w2c matrices on a ring looking at the origin."""
+    rng = np.random.default_rng(seed)
+    w2cs = []
+    for i in range(n):
+        theta = 2.0 * np.pi * i / n
+        h = rng.uniform(-height_jitter, height_jitter)
+        pos = np.array(
+            [radius * np.sin(theta), h, radius * np.cos(theta)]
+        )
+        w2cs.append(_lookat_w2c(pos, np.zeros(3)))
+    return np.stack(w2cs)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _gt_render_fn(width: int, height: int, white_background: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.projection import CameraIntrinsics, project_gaussians
+    from ..ops.rasterize_ref import rasterize
+
+    @jax.jit
+    def run(means, scales, quats, colors, opac, w2c, fx):
+        intr = CameraIntrinsics(
+            fx, fx, jnp.float32(width / 2), jnp.float32(height / 2),
+            width, height,
+        )
+        proj = project_gaussians(means, quats, scales, w2c, intr)
+        opac_eff = opac * (proj.radii > 0.0)
+        bg = jnp.full(
+            (3,), 1.0 if white_background else 0.0, jnp.float32
+        )
+        img, _ = rasterize(
+            proj.means2d, proj.conics, colors, opac_eff, proj.depths,
+            bg, jnp.zeros((means.shape[0], 2), jnp.float32),
+            height, width, chunk=128,
+        )
+        return jnp.clip(img, 0.0, 1.0)
+
+    return run
+
+
+def render_gt(
+    gt, w2c: np.ndarray, width: int, height: int, fx: float,
+    white_background: bool,
+) -> np.ndarray:
+    """Render the ground-truth scene with the oracle renderer (uint8)."""
+    import jax.numpy as jnp
+
+    means, scales, quats, colors, opac = gt
+    run = _gt_render_fn(width, height, white_background)
+    img = run(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(colors), jnp.asarray(opac),
+        jnp.asarray(w2c.astype(np.float32)), jnp.float32(fx),
+    )
+    return (np.asarray(img) * 255.0 + 0.5).astype(np.uint8)
+
+
+def generate_blender_scene(
+    out_dir: Path,
+    n_train: int = 24,
+    n_test: int = 6,
+    image_size: int = 128,
+    n_gaussians: int = 300,
+    white_background: bool = True,
+    seed: int = 0,
+) -> Path:
+    """Write a blender-format dataset rendered from a GT Gaussian scene."""
+    from PIL import Image
+
+    out_dir = Path(out_dir)
+    gt = make_gt_gaussians(n_gaussians, seed)
+    fov_x = 0.9
+    fx = image_size / (2.0 * np.tan(fov_x / 2.0))
+
+    for split, n, cam_seed in [("train", n_train, 1), ("test", n_test, 2)]:
+        (out_dir / split).mkdir(parents=True, exist_ok=True)
+        w2cs = ring_cameras(n, seed=cam_seed)
+        frames = []
+        for i, w2c in enumerate(w2cs):
+            img = render_gt(gt, w2c, image_size, image_size, fx,
+                            white_background)
+            Image.fromarray(img).save(out_dir / split / f"r_{i}.png")
+            c2w = np.linalg.inv(w2c)
+            c2w_gl = c2w.copy()
+            c2w_gl[:3, 1:3] *= -1  # OpenCV -> OpenGL (the loader flips back)
+            frames.append(
+                {
+                    "file_path": f"./{split}/r_{i}",
+                    "transform_matrix": c2w_gl.tolist(),
+                }
+            )
+        with open(out_dir / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": fov_x, "frames": frames}, f)
+    return out_dir
+
+
+def generate_colmap_scene(
+    out_dir: Path,
+    n_images: int = 24,
+    image_size: int = 128,
+    n_gaussians: int = 300,
+    n_points: int = 2000,
+    seed: int = 0,
+) -> Path:
+    """Write a COLMAP-format dataset (binary sparse model + images)
+    rendered from a GT Gaussian scene; the init point cloud samples the GT
+    Gaussian centers with color noise (standing in for SfM points)."""
+    from PIL import Image
+
+    from ..scene.types import quat_to_rotmat_np
+
+    out_dir = Path(out_dir)
+    sparse = out_dir / "sparse" / "0"
+    sparse.mkdir(parents=True, exist_ok=True)
+    (out_dir / "images").mkdir(parents=True, exist_ok=True)
+
+    gt = make_gt_gaussians(n_gaussians, seed)
+    means, scales, quats, colors, opac = gt
+    rng = np.random.default_rng(seed + 7)
+    fx = fy = image_size * 1.1
+    cx = cy = image_size / 2.0
+
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, image_size, image_size))
+        f.write(struct.pack("<dddd", fx, fy, cx, cy))
+
+    w2cs = ring_cameras(n_images, seed=3)
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_images))
+        for i, w2c in enumerate(w2cs):
+            R = w2c[:3, :3]
+            # rotation matrix -> wxyz quaternion
+            q = _rotmat_to_quat(R)
+            t = w2c[:3, 3]
+            f.write(struct.pack("<idddddddi", i + 1, *q, *t, 1))
+            f.write(f"im_{i:04d}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+            img = render_gt(gt, w2c, image_size, image_size, fx, False)
+            Image.fromarray(img).save(out_dir / "images" / f"im_{i:04d}.png")
+
+    # init point cloud: GT centers + jitter (SfM-like)
+    idx = rng.integers(0, n_gaussians, size=n_points)
+    pts = means[idx] + rng.normal(scale=0.03, size=(n_points, 3))
+    cols = np.clip(
+        colors[idx] * 255 + rng.normal(scale=20, size=(n_points, 3)), 0, 255
+    ).astype(np.uint8)
+    with open(sparse / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_points))
+        for i in range(n_points):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<ddd", *pts[i].astype(np.float64)))
+            f.write(struct.pack("<BBB", *cols[i]))
+            f.write(struct.pack("<d", 0.1))
+            f.write(struct.pack("<Q", 0))
+    return out_dir
+
+
+def _rotmat_to_quat(R: np.ndarray) -> Tuple[float, float, float, float]:
+    """Rotation matrix -> wxyz quaternion (Shepperd's method)."""
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    return float(w), float(x), float(y), float(z)

@@ -42,6 +42,10 @@ def main():
     parser.add_argument("--data", "-d", type=str, required=True)
     parser.add_argument("--output", "-o", type=str, default="output")
     parser.add_argument("--view_online", action="store_true")
+    parser.add_argument(
+        "--resume", type=str, default=None,
+        help="checkpoint (.npz with optimizer state) to resume from",
+    )
     args = parser.parse_args()
 
     cfg = parse_cfg(args)
@@ -60,7 +64,7 @@ def main():
     from easy_gaussian_splatting_tpu.training.trainer import train
 
     logger.info("----------------------- train -----------------------")
-    train(cfg)
+    train(cfg, resume_from=args.resume)
     logger.info("training finished")
     logger.info("--------------------- evaluation ---------------------")
     from eval import eval as run_eval
