@@ -24,6 +24,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from .. import native as _native
 from .types import Frame, Pointcloud, quat_to_rotmat_np
 
 logger = logging.getLogger(__name__)
@@ -95,6 +96,16 @@ def load_images_binary(path: Path) -> Dict[int, ColmapImage]:
     if not path.exists():
         raise FileNotFoundError(f"{path} does not exist")
     buf = path.read_bytes()
+    native = _native.parse_images(buf)
+    if native is not None:
+        ids, cam_ids, quats, trans, names = native
+        return {
+            int(ids[i]): ColmapImage(
+                int(ids[i]), names[i], int(cam_ids[i]),
+                tuple(quats[i]), tuple(trans[i]),
+            )
+            for i in range(len(ids))
+        }
     (num_images,) = struct.unpack_from("<Q", buf, 0)
     off = 8
     images: Dict[int, ColmapImage] = {}
@@ -118,6 +129,10 @@ def load_points3d_binary(path: Path) -> Pointcloud:
     if not path.exists():
         raise FileNotFoundError(f"{path} does not exist")
     buf = path.read_bytes()
+    native = _native.parse_points3d(buf)
+    if native is not None:
+        xyz, rgb = native
+        return Pointcloud(xyzs=xyz, rgbs=rgb)
     (num_points,) = struct.unpack_from("<Q", buf, 0)
     off = 8
     xyzs = np.empty((num_points, 3), np.float32)

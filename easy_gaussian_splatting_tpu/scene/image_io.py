@@ -43,6 +43,11 @@ def expand_mask(mask: np.ndarray, expand_pixels: int) -> np.ndarray:
     asymmetric by half a pixel because the kernel size is even)."""
     if expand_pixels == 0:
         return mask
+    from .. import native as _native
+
+    native_out = _native.dilate_mask(mask, expand_pixels)
+    if native_out is not None:
+        return native_out
     e = expand_pixels
     h, w = mask.shape
     padded = np.zeros((h + 2 * e, w + 2 * e), dtype=bool)

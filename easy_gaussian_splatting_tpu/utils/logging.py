@@ -31,6 +31,7 @@ def configure_logging(level: int = logging.DEBUG) -> None:
     # keep noisy third-party loggers at INFO
     logging.getLogger("jax").setLevel(logging.INFO)
     logging.getLogger("PIL").setLevel(logging.INFO)
+    logging.getLogger("matplotlib").setLevel(logging.WARNING)
     _configured = True
 
 
