@@ -81,6 +81,12 @@ class Evaluator:
             K = jnp.asarray(data["K"])
             image = jnp.asarray(data["image"])
             mask = jnp.asarray(data["mask"])
+            if i == 0:
+                # warm-up: exclude jit compilation from the FPS measurement
+                run(
+                    model.params, model.alive, w2c, K, background, image,
+                    mask,
+                )[0].block_until_ready()
             t0 = time.time()
             render_img, comp, m_psnr, m_ssim = run(
                 model.params, model.alive, w2c, K, background, image, mask
