@@ -152,9 +152,9 @@ def _fwd_kernel(
     rgb_ref,  # out [1, P, 3]
     t_ref,  # out [1, P, 1]
     last_ref,  # out [1, P, 1] int32
-    buf_ref,  # scratch VMEM [24, CHUNK]
+    buf_ref,  # scratch VMEM [2, 24, CHUNK] (double-buffered)
     done_ref,  # scratch VMEM [P, 1] float32 (0/1)
-    sem,
+    sem,  # DMA semaphores [2]
 ):
     t = pl.program_id(0)
     start = offsets_ref[t]
@@ -168,6 +168,19 @@ def _fwd_kernel(
 
     num_chunks = pl.cdiv(end - astart, CHUNK)
 
+    def dma(k):
+        slot = jax.lax.rem(k, 2)
+        base = astart + k * CHUNK
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            buf_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        dma(jnp.int32(0)).start()
+
     def cond(state):
         k, all_done = state
         return (k < num_chunks) & jnp.logical_not(all_done)
@@ -175,14 +188,13 @@ def _fwd_kernel(
     def body(state):
         k, _ = state
         base = astart + k * CHUNK
-        cp = pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
-            buf_ref,
-            sem,
-        )
-        cp.start()
-        cp.wait()
-        buf = buf_ref[...]
+
+        @pl.when(k + 1 < num_chunks)
+        def _():
+            dma(k + 1).start()
+
+        dma(k).wait()
+        buf = buf_ref[jax.lax.rem(k, 2)]
 
         alpha, elig, _, _, gpos = _chunk_alpha(
             buf, basis_ref[...], start, end, base
@@ -229,7 +241,13 @@ def _fwd_kernel(
 
         return k + 1, jnp.min(done_new) > 0.0
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+    k_exit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+    # drain the in-flight prefetch if the early exit fired mid-stream
+    # (otherwise the next grid program inherits a signaled semaphore)
+    @pl.when((k_exit > 0) & (k_exit < num_chunks))
+    def _():
+        dma(k_exit).wait()
 
 
 def tiled_forward(
@@ -254,9 +272,9 @@ def tiled_forward(
             pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NUM_FEATURES, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_FEATURES, CHUNK), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     rgb, tfin, last = pl.pallas_call(
@@ -283,9 +301,9 @@ def _bwd_kernel(
     dfeats_ref,  # HBM out [16, I_pad]
     tstate_ref,  # scratch VMEM [P, 1]
     sstate_ref,  # scratch VMEM [P, 1]
-    buf_ref,  # scratch VMEM [24, CHUNK]
+    buf_ref,  # scratch VMEM [2, 24, CHUNK] (double-buffered)
     dbuf_ref,  # scratch VMEM [16, CHUNK]
-    sem_in,
+    sem_in,  # DMA semaphores [2]
     sem_out,
 ):
     t = pl.program_id(0)
@@ -298,20 +316,39 @@ def _bwd_kernel(
     # gradient arrives through gt_ref)
     sstate_ref[...] = gt_ref[0] * tfin_ref[0]
 
-    num_chunks = pl.cdiv(end - astart, CHUNK)
     gimg = gimg_ref[0]  # [3, P]
     last = last_ref[0]  # [P, 1] int32
+
+    # nothing after the tile's last contributor receives gradient: bound
+    # the walk by the per-tile horizon (mirrors the forward early exit)
+    max_last = jnp.max(last)  # -1 if nothing composited
+    n_eff = jnp.maximum(
+        jnp.minimum(max_last + 1, end) - astart, 0
+    )
+    num_chunks = pl.cdiv(n_eff, CHUNK)
+
+    def feats_dma(k):
+        slot = jax.lax.rem(k, 2)
+        base = astart + k * CHUNK
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            buf_ref.at[slot],
+            sem_in.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        feats_dma(num_chunks - 1).start()
 
     def body(kk, _):
         k = num_chunks - 1 - kk
         base = astart + k * CHUNK
-        cp = pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
-            buf_ref,
-            sem_in,
-        )
-        cp.start()
-        cp.wait()
+
+        @pl.when(k > 0)
+        def _():
+            feats_dma(k - 1).start()
+
+        feats_dma(k).wait()
         # read the current output window (merge-RMW for boundary lanes)
         cp_r = pltpu.make_async_copy(
             dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
@@ -321,7 +358,7 @@ def _bwd_kernel(
         cp_r.start()
         cp_r.wait()
         prev_out = dbuf_ref[...]  # [16, CH]
-        buf = buf_ref[...]
+        buf = buf_ref[jax.lax.rem(k, 2)]
 
         alpha, elig, G, opac, gpos = _chunk_alpha(
             buf, basis_ref[...], start, end, base
@@ -444,9 +481,9 @@ def tiled_backward(
         scratch_shapes=[
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
-            pltpu.VMEM((NUM_FEATURES, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_FEATURES, CHUNK), jnp.float32),
             pltpu.VMEM((NUM_GRAD_FEATURES, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )

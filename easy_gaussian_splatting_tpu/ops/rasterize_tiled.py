@@ -411,6 +411,40 @@ def rasterize_tiled(
     return img, 1.0 - final_t
 
 
+def make_isect_counter(
+    tile_size: int = DEFAULT_TILE,
+    max_tiles_w: int = DEFAULT_MAX_TILES_W,
+    max_tiles_h: int = DEFAULT_MAX_TILES_H,
+):
+    """Jittable (params, alive, camera) -> number of tile intersections.
+    Used by the trainer to monitor the intersection capacity and trigger
+    auto-growth before the cap would truncate deep tiles."""
+    import jax as _jax
+
+    from ..models.render import CameraView  # noqa: F401 (type only)
+
+    @functools.partial(
+        _jax.jit, static_argnames=("height", "width")
+    )
+    def count(params, alive, w2c, K, *, height, width):
+        scales = jnp.exp(params.log_scales)
+        opac = jax.nn.sigmoid(params.logit_opacities) * alive.astype(
+            jnp.float32
+        )
+        intr = CameraIntrinsics.from_K(K, width, height)
+        proj = project_gaussians(
+            params.means, params.quats, scales, w2c, intr
+        )
+        radii = jnp.where(opac > 0.0, proj.radii, 0.0)
+        geom = image_geometry(height, width, tile_size)
+        binning = bin_gaussians(
+            proj.means2d, radii, proj.depths, geom, max_tiles_w, max_tiles_h
+        )
+        return binning.num_isects
+
+    return count
+
+
 def make_tiled_render_fn(
     tile_size: int = DEFAULT_TILE,
     max_tiles_w: int = DEFAULT_MAX_TILES_W,

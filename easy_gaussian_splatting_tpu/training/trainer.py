@@ -287,6 +287,44 @@ def train(
     render_fn = get_render_fn(cfg)
     train_step = make_train_step(cfg, render_fn)
 
+    # intersection-capacity watchdog for the tiled renderer: if the binned
+    # intersection count approaches isect_mult * capacity, deep tiles would
+    # be silently truncated — grow the multiplier and rebuild the step
+    isect_counter = None
+    if cfg.renderer == "tiled":
+        from ..ops.rasterize_tiled import make_isect_counter
+
+        isect_counter = make_isect_counter(
+            cfg.tile_size, cfg.max_tiles, cfg.max_tiles
+        )
+
+    def check_isect_capacity(data):
+        nonlocal render_fn, train_step
+        if isect_counter is None:
+            return
+        n = int(
+            isect_counter(
+                loop.model.params,
+                loop.model.alive,
+                jnp.asarray(data["w2c"]),
+                jnp.asarray(data["K"]),
+                height=data["height"],
+                width=data["width"],
+            )
+        )
+        cap = cfg.isect_mult * loop.model.capacity
+        if n > 0.85 * cap:
+            cfg.isect_mult *= 2
+            logger.info(
+                f"intersections {n} near capacity {cap}: raising "
+                f"isect_mult to {cfg.isect_mult} (recompile)"
+            )
+            render_fn = get_render_fn(cfg)
+            train_step = make_train_step(cfg, render_fn)
+            sharded_steps.clear()
+            evaluator.render_fn = render_fn
+            evaluator._jitted.clear()
+
     # optional multi-chip mesh ("tiles:N"): image stripes sharded per chip
     mesh = None
     sharded_steps = {}
@@ -427,6 +465,7 @@ def train(
 
         # refine events
         if densify_now:
+            check_isect_capacity(data)
             key, sub = jax.random.split(key)
             info = run_densify_with_growth(loop, densify_step, sub, cfg)
             all_tb_info["train/densify"] = {
