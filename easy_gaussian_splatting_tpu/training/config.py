@@ -97,6 +97,7 @@ class Config:
     save_optimizer_state: bool = False  # include Adam state in checkpoints
     mesh_shape: str = ""  # e.g. "tiles:8" or "" for single-device
     blender_init_points: int = 100000  # synthetic init pointcloud size
+    profile_steps: int = 0  # >0: jax.profiler trace of that many steps
 
     def validate(self) -> None:
         if self.data_format not in ("colmap", "blender"):

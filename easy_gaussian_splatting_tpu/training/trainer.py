@@ -368,12 +368,25 @@ def train(
 
     t_start = time.time()
     last_loss = float("nan")
+    profiler_active = False
     for data in prefetch_frames(
         scene, "train", shuffle=True, num_workers=cfg.dataloader_workers
     ):
         loop.step += 1
         step = loop.step
         all_tb_info: Dict[str, Any] = {}
+
+        # optional profiler window (steps 10 .. 10+profile_steps)
+        if cfg.profile_steps > 0 and cfg.output is not None:
+            if step == 10 and not profiler_active:
+                jax.profiler.start_trace(str(Path(cfg.output) / "profile"))
+                profiler_active = True
+            elif profiler_active and step == 10 + cfg.profile_steps:
+                jax.profiler.stop_trace()
+                profiler_active = False
+                logger.info(
+                    f"profiler trace written to {Path(cfg.output)/'profile'}"
+                )
 
         in_refine = cfg.refine_start < step <= cfg.refine_stop
         densify_now = (

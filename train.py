@@ -46,9 +46,14 @@ def main():
         "--resume", type=str, default=None,
         help="checkpoint (.npz with optimizer state) to resume from",
     )
+    parser.add_argument(
+        "--profile", type=int, default=0,
+        help="trace this many training steps with jax.profiler",
+    )
     args = parser.parse_args()
 
     cfg = parse_cfg(args)
+    cfg.profile_steps = args.profile
     set_global_state(cfg.random_seed, cfg.device)
 
     if cfg.total_iterations not in cfg.save_model_iterations:
