@@ -25,6 +25,12 @@ import jax as _jax
 # kernels request f32 accumulation explicitly as well).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Escape hatch for CI / containers that pin jax to an accelerator platform
+# programmatically (env JAX_PLATFORMS alone cannot override a plugin that
+# calls jax.config.update at interpreter start).
+if _os.environ.get("EGS_TPU_FORCE_CPU", "") == "1":
+    _jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: XLA compiles of the fused train step take
 # ~1 min (more over a remote-TPU tunnel); cache them across processes.
 if _os.environ.get("EGS_TPU_NO_COMPILE_CACHE", "") != "1":
