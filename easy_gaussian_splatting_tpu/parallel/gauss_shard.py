@@ -1,0 +1,197 @@
+"""Gaussian-sharded training: parameters, optimizer moments, and densify
+statistics sharded across chips (ZeRO-style), combined with image-stripe
+compute sharding.
+
+This is the scaling path for scenes whose Gaussian population (10M+) does
+not fit one chip's HBM next to its optimizer state:
+
+- each chip *stores* 1/n of every per-Gaussian array (params, Adam mu/nu,
+  densify statistics);
+- for compute, parameters are ``all_gather``-ed over ICI (bandwidth-cheap
+  relative to HBM capacity), and each chip renders its image stripe
+  exactly like ``shard.py``;
+- the backward produces full-population gradients per chip (for its
+  stripe); a ``psum_scatter`` (reduce-scatter) simultaneously sums the
+  stripe contributions and re-shards them, so each chip updates only its
+  parameter shard — the collective cost is one all-gather + one
+  reduce-scatter per step, the canonical ZeRO/FSDP exchange;
+- densification statistics live sharded; the (rare, every
+  ``refine_every``) densify event gathers state host-side, reuses the
+  single-device engine, and re-shards.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.density import update_statistics
+from ..models.gaussians import GaussianModelState
+from ..models.loss import loss_dict
+from ..models.optimizer import AdamState, adam_update
+from ..models.render import CameraView
+from ..training.config import Config
+from .mesh import TILE_AXIS
+
+
+def shard_state(state, mesh):
+    """Place a model/optimizer pytree with leading-axis sharding over the
+    mesh (scalars replicated)."""
+    from jax.sharding import NamedSharding
+
+    axis = mesh.axis_names[0]
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.devices.size == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, state)
+
+
+def gather_state(state):
+    """Bring a sharded pytree back to fully-replicated (host) layout."""
+    return jax.tree.map(lambda x: jax.device_get(x), state)
+
+
+def make_gauss_sharded_train_step(
+    cfg: Config,
+    mesh,
+    render_fn: Callable,
+    height: int,
+    width: int,
+):
+    """Train step over Gaussian-sharded state. State arrays come in with
+    their leading (capacity) axis sharded over the mesh; camera/image
+    inputs replicated."""
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    if height % n_dev != 0:
+        raise ValueError(
+            f"height {height} must be divisible by mesh size {n_dev}"
+        )
+    stripe_h = height // n_dev
+    background = jnp.full(
+        (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
+    )
+    static_lrs = {
+        "log_scales": cfg.log_scales_lr,
+        "quats": cfg.quats_lr,
+        "sh_0": cfg.sh_0_lr,
+        "sh_rest": cfg.sh_rest_lr,
+        "logit_opacities": cfg.logit_opacities_lr,
+    }
+
+    def per_chip(params_shard, alive_shard, stats_shard, mu_shard, nu_shard,
+                 steps, w2c, K, image, mask, lr_means, do_stats, skip_all,
+                 skip_opac, *, sh_degree):
+        # ---- gather the population for compute (ZeRO exchange, leg 1)
+        params = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+            params_shard,
+        )
+        alive = jax.lax.all_gather(alive_shard, axis, axis=0, tiled=True)
+        cap = alive.shape[0]
+        shard_size = cap // n_dev
+        idx = jax.lax.axis_index(axis)
+
+        def stripe_loss(params, absdummy):
+            y0 = (idx * stripe_h).astype(jnp.float32)
+            camera = CameraView(
+                w2c=w2c, K=K.at[1, 2].add(-y0), width=width, height=stripe_h
+            )
+            out = render_fn(
+                params, alive, camera, sh_degree, background, absdummy
+            )
+            full = jax.lax.all_gather(
+                out.image, axis, axis=0, tiled=True
+            )
+            ld = loss_dict(
+                full, image, mask, cfg.lambda_ssim,
+                log_scales=params.log_scales, alive=alive,
+                use_scale_regularization=cfg.use_scale_regularization,
+                max_scale_ratio=cfg.max_scale_ratio,
+                lambda_scale=cfg.lambda_scale,
+            )
+            return ld["total"], (ld, out.radii)
+
+        absdummy = jnp.zeros((cap, 2), jnp.float32)
+        (_, (ld, radii)), (grads, absgrad) = jax.value_and_grad(
+            stripe_loss, argnums=(0, 1), has_aux=True
+        )(params, absdummy)
+
+        # ---- reduce-scatter (ZeRO exchange, leg 2): sum stripe
+        # contributions and shard; normalize the redundant-loss factor
+        # (see shard.py)
+        def rs(g):
+            return jax.lax.psum_scatter(
+                g, axis, scatter_dimension=0, tiled=True
+            ) / float(n_dev)
+
+        grads_shard = jax.tree.map(rs, grads)
+        absgrad_shard = rs(absgrad)
+        radii_full = jax.lax.pmax(radii, axis)
+        radii_shard = jax.lax.dynamic_slice_in_dim(
+            radii_full, idx * shard_size, shard_size
+        )
+        ld = jax.tree.map(lambda x: jax.lax.pmean(x, axis), ld)
+
+        new_stats = update_statistics(
+            stats_shard, radii_shard, absgrad_shard, height, width
+        )
+        stats_out = jax.tree.map(
+            lambda a, b: jnp.where(do_stats, b, a), stats_shard, new_stats
+        )
+
+        lrs = {
+            name: jnp.asarray(v, jnp.float32)
+            for name, v in static_lrs.items()
+        }
+        lrs["means"] = lr_means
+        skips = {
+            name: (
+                skip_all | skip_opac
+                if name == "logit_opacities"
+                else skip_all
+            )
+            for name in ("means",) + tuple(static_lrs)
+        }
+        adam_shard = AdamState(mu=mu_shard, nu=nu_shard, steps=steps)
+        params_new, adam_new = adam_update(
+            params_shard, grads_shard, adam_shard, lrs, skips
+        )
+        return (
+            params_new, stats_out, adam_new.mu, adam_new.nu,
+            adam_new.steps, ld,
+        )
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def step(model: GaussianModelState, adam: AdamState, w2c, K, image,
+             mask, lr_means, do_stats, skip_all, skip_opac, *, sh_degree):
+        sharded = shard_map(
+            functools.partial(per_chip, sh_degree=sh_degree),
+            mesh=mesh,
+            in_specs=(
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+                P(), P(), P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+            check_rep=False,
+        )
+        params_new, stats_new, mu, nu, steps, ld = sharded(
+            model.params, model.alive, model.stats, adam.mu, adam.nu,
+            adam.steps, w2c, K, image, mask, lr_means, do_stats,
+            skip_all, skip_opac,
+        )
+        model_new = GaussianModelState(
+            params=params_new, alive=model.alive, stats=stats_new
+        )
+        return model_new, AdamState(mu=mu, nu=nu, steps=steps), ld
+
+    return step

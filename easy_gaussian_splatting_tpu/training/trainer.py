@@ -325,22 +325,44 @@ def train(
             evaluator.render_fn = render_fn
             evaluator._jitted.clear()
 
-    # optional multi-chip mesh ("tiles:N"): image stripes sharded per chip
+    # optional multi-chip mesh:
+    #   "tiles:N" — image stripes sharded, params replicated
+    #   "gauss:N" — ZeRO-style: params/optimizer/stats sharded + stripes
     mesh = None
+    mesh_mode = ""
     sharded_steps = {}
     if cfg.mesh_shape:
         from ..parallel.mesh import make_mesh
-        from ..parallel.shard import make_sharded_train_step
 
-        n_dev = int(cfg.mesh_shape.split(":")[1])
-        mesh = make_mesh(n_dev)
-        logger.info(f"training on a {n_dev}-device mesh (image stripes)")
+        mesh_mode, n_str = cfg.mesh_shape.split(":")
+        if mesh_mode not in ("tiles", "gauss"):
+            raise ValueError(f"invalid mesh_shape: {cfg.mesh_shape}")
+        mesh = make_mesh(int(n_str))
+        logger.info(
+            f"training on a {n_str}-device mesh (mode: {mesh_mode})"
+        )
+        if mesh_mode == "gauss":
+            from ..parallel.gauss_shard import shard_state
+
+            loop.model = shard_state(loop.model, mesh)
+            loop.adam = shard_state(loop.adam, mesh)
 
         def get_sharded_step(h, w):
             if (h, w) not in sharded_steps:
-                sharded_steps[(h, w)] = make_sharded_train_step(
-                    cfg, mesh, render_fn, h, w
-                )
+                if mesh_mode == "gauss":
+                    from ..parallel.gauss_shard import (
+                        make_gauss_sharded_train_step,
+                    )
+
+                    sharded_steps[(h, w)] = make_gauss_sharded_train_step(
+                        cfg, mesh, render_fn, h, w
+                    )
+                else:
+                    from ..parallel.shard import make_sharded_train_step
+
+                    sharded_steps[(h, w)] = make_sharded_train_step(
+                        cfg, mesh, render_fn, h, w
+                    )
             return sharded_steps[(h, w)]
     densify_step = make_densify_step(cfg)
     means_lr = log_lerp_schedule(
@@ -480,7 +502,22 @@ def train(
         if densify_now:
             check_isect_capacity(data)
             key, sub = jax.random.split(key)
-            info = run_densify_with_growth(loop, densify_step, sub, cfg)
+            if mesh_mode == "gauss":
+                # gather the sharded state for the (rare) densify event,
+                # run the single-device engine, and re-shard
+                from ..parallel.gauss_shard import shard_state
+
+                loop.model = jax.device_put(
+                    jax.tree.map(np.asarray, loop.model)
+                )
+                loop.adam = jax.device_put(
+                    jax.tree.map(np.asarray, loop.adam)
+                )
+                info = run_densify_with_growth(loop, densify_step, sub, cfg)
+                loop.model = shard_state(loop.model, mesh)
+                loop.adam = shard_state(loop.adam, mesh)
+            else:
+                info = run_densify_with_growth(loop, densify_step, sub, cfg)
             all_tb_info["train/densify"] = {
                 "split": info["split"],
                 "clone": info["clone"],
