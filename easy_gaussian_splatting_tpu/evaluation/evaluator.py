@@ -8,7 +8,6 @@ side-by-side images for TensorBoard."""
 
 from __future__ import annotations
 
-import functools
 import logging
 import random
 import time

@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 from .projection import CameraIntrinsics, project_gaussians
-from .sh import eval_sh_color
 
 DEFAULT_TILE = 32
 DEFAULT_MAX_TILES_W = 6
@@ -420,8 +419,6 @@ def make_isect_counter(
     Used by the trainer to monitor the intersection capacity and trigger
     auto-growth before the cap would truncate deep tiles."""
     import jax as _jax
-
-    from ..models.render import CameraView  # noqa: F401 (type only)
 
     @functools.partial(
         _jax.jit, static_argnames=("height", "width")

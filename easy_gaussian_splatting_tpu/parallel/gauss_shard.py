@@ -35,7 +35,6 @@ from ..models.loss import loss_dict
 from ..models.optimizer import AdamState, adam_update
 from ..models.render import CameraView
 from ..training.config import Config
-from .mesh import TILE_AXIS
 
 
 def shard_state(state, mesh):

@@ -23,7 +23,6 @@ This gives data-parallel-free spatial scaling for one camera per step
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -34,7 +33,7 @@ from jax.experimental.shard_map import shard_map
 from ..models.density import update_statistics
 from ..models.gaussians import GaussianModelState
 from ..models.loss import loss_dict
-from ..models.optimizer import AdamState, adam_update
+from ..models.optimizer import adam_update
 from ..models.render import CameraView
 from ..training.config import Config
 from .mesh import TILE_AXIS

@@ -46,7 +46,6 @@ from ..models.optimizer import (
 )
 from ..models.render import CameraView, render
 from ..ops.lr_schedule import log_lerp_schedule
-from ..ops.sh import num_sh_bases
 from .config import Config
 
 logger = logging.getLogger(__name__)

@@ -13,7 +13,6 @@ moments and step counters so training can actually resume.
 
 from __future__ import annotations
 
-import io
 import json
 import logging
 from pathlib import Path
@@ -28,7 +27,7 @@ from ..models.gaussians import (
     PARAM_NAMES,
     zero_stats,
 )
-from ..models.optimizer import AdamState, init_adam_state
+from ..models.optimizer import AdamState
 
 logger = logging.getLogger(__name__)
 

@@ -164,8 +164,6 @@ def generate_colmap_scene(
     Gaussian centers with color noise (standing in for SfM points)."""
     from PIL import Image
 
-    from ..scene.types import quat_to_rotmat_np
-
     out_dir = Path(out_dir)
     sparse = out_dir / "sparse" / "0"
     sparse.mkdir(parents=True, exist_ok=True)
