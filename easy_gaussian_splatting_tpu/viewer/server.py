@@ -44,6 +44,10 @@ button{margin:2px;font-size:12px}
 <button onclick="rec('add')">add keyframe</button>
 <button onclick="rec('clear')">clear</button>
 <button onclick="rec('export')">export video</button>
+<br/>fov <input id="fov" type="range" min="0.3" max="2.2" step="0.05"
+value="1.0" style="width:90px"/>
+res <select id="res"><option>480</option><option selected>720</option>
+<option>960</option></select>
 <span id="st"></span></div>
 <script>
 let yaw=0,pitch=0.3,radius=4,target=[0,0,0],cams=[],ci=-1,busy=false;
@@ -67,8 +71,12 @@ window.onmousemove=e=>{if(!drag)return;
   target[0]-=s*(dx*Math.cos(yaw));target[1]+=s*dy;target[2]+=s*(dx*Math.sin(yaw));}
  else{yaw-=dx*0.005;pitch=Math.max(-1.5,Math.min(1.5,pitch+dy*0.005));}};
 window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001);};
-function view(){return {yaw,pitch,radius,target,
- width:Math.min(1280,window.innerWidth),height:Math.min(960,window.innerHeight)};}
+function view(){
+ const h=parseInt(document.getElementById('res').value);
+ const ar=window.innerWidth/window.innerHeight;
+ return {yaw,pitch,radius,target,
+  fov:parseFloat(document.getElementById('fov').value),
+  width:Math.round(h*ar),height:h};}
 async function loop(){
  if(!busy){busy=true;
   try{const r=await fetch('/render',{method:'POST',body:JSON.stringify(view())});
