@@ -401,6 +401,11 @@ def rasterize_tiled(
         interpret = _interpret_default()
     c = means2d.shape[0]
     isect_cap = c * isect_mult
+    # zero-opacity Gaussians (dead capacity slots, alive-mask culls) must
+    # not be binned: dead slots project to unit-scale blobs with large
+    # radii and would exhaust the intersection capacity, truncating real
+    # content from deep tiles
+    radii = jnp.where(opacities > 0.0, radii, 0.0)
     img, final_t = _rasterize_tiled_core(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,

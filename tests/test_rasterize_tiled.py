@@ -235,3 +235,47 @@ class TestTiledBackward:
         absgrad = np.asarray(absgrad)
         assert np.all(absgrad >= 0)
         assert np.all(absgrad - np.abs(np.asarray(g_m2d)) >= -1e-5)
+
+
+class TestDeadSlots:
+    def test_zero_opacity_not_binned(self, rng):
+        """Dead capacity slots project as unit-scale blobs with big radii
+        and zero opacity; they must not consume intersection capacity
+        (regression: they exhausted isect_cap and truncated real content)."""
+        from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+            bin_gaussians,
+        )
+
+        n_live, n_dead = 50, 500
+        live = _scene(rng, n=n_live, max_opac=0.3)
+        m2d, con, col, opa, rad, dep = live
+        # dead slots: center of image, radius covering everything, opac 0
+        m2d_d = jnp.tile(jnp.array([[W / 2, H / 2]], jnp.float32), (n_dead, 1))
+        con_d = jnp.tile(jnp.array([[0.01, 0.0, 0.01]], jnp.float32), (n_dead, 1))
+        col_d = jnp.zeros((n_dead, 3))
+        opa_d = jnp.zeros((n_dead,))
+        rad_d = jnp.full((n_dead,), 200.0)
+        dep_d = jnp.full((n_dead,), 0.5)  # in FRONT of everything
+
+        m2d_all = jnp.concatenate([m2d, m2d_d])
+        con_all = jnp.concatenate([con, con_d])
+        col_all = jnp.concatenate([col, col_d])
+        opa_all = jnp.concatenate([opa, opa_d])
+        rad_all = jnp.concatenate([rad, rad_d])
+        dep_all = jnp.concatenate([dep, dep_d])
+        n = n_live + n_dead
+        bg = jnp.array([0.1, 0.2, 0.3])
+        dummy = jnp.zeros((n, 2))
+
+        # tiny isect capacity: only correct if dead slots are not binned
+        img_t, alpha_t = rasterize_tiled(
+            m2d_all, con_all, col_all, opa_all, dep_all, bg, dummy, H, W,
+            radii=rad_all, tile_size=16, isect_mult=2, interpret=True,
+        )
+        img_o, alpha_o = rasterize(
+            m2d_all, con_all, col_all, opa_all, dep_all, bg, dummy, H, W,
+            radii=rad_all,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_t), np.asarray(img_o), atol=2e-5
+        )
