@@ -130,9 +130,24 @@ def bin_gaussians(
         jnp.arange(c, dtype=jnp.int32)[:, None], (c, m)
     )
 
-    sorted_keys, sorted_ranks = jax.lax.sort(
-        (keys.reshape(-1), ranks.reshape(-1)), num_keys=1, is_stable=True
-    )
+    rank_bits = max(1, (c - 1).bit_length())
+    tile_bits = num_tiles.bit_length()  # ids 0..num_tiles (incl. sentinel)
+    if rank_bits + tile_bits <= 31:
+        # pack (tile, rank) into one int32 key: keys are unique, so a
+        # single-operand non-stable sort replaces the stable two-operand
+        # sort (~40% cheaper) while preserving depth order within tiles
+        packed = (keys << rank_bits) | ranks
+        sorted_packed = jax.lax.sort(packed.reshape(-1), is_stable=False)
+        sorted_keys = (sorted_packed >> rank_bits).astype(jnp.int32)
+        sorted_ranks = (
+            sorted_packed & ((1 << rank_bits) - 1)
+        ).astype(jnp.int32)
+    else:
+        sorted_keys, sorted_ranks = jax.lax.sort(
+            (keys.reshape(-1), ranks.reshape(-1)),
+            num_keys=1,
+            is_stable=True,
+        )
     tile_offsets = jnp.searchsorted(
         sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -392,7 +407,7 @@ def rasterize_tiled(
     tile_size: int = DEFAULT_TILE,
     max_tiles_w: int = DEFAULT_MAX_TILES_W,
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
-    isect_mult: int = 4,
+    isect_mult: int = 3,
     interpret: bool | None = None,
 ):
     """Tiled rasterization with the unified rasterizer signature (see
@@ -451,7 +466,7 @@ def make_tiled_render_fn(
     tile_size: int = DEFAULT_TILE,
     max_tiles_w: int = DEFAULT_MAX_TILES_W,
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
-    isect_mult: int = 4,
+    isect_mult: int = 3,
     interpret: bool | None = None,
 ):
     """Render function (models/render.py signature) using the tiled Pallas

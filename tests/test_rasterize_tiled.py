@@ -115,6 +115,8 @@ def _run_both(scene, tile_size=16, **kw):
     img_o, alpha_o = rasterize(
         m2d, con, col, opa, dep, bg, dummy, H, W, radii=rad
     )
+    kw.setdefault("isect_mult", 8)  # small-N test scenes have large
+    # per-gaussian tile coverage; production uses the trainer's watchdog
     img_t, alpha_t = rasterize_tiled(
         m2d, con, col, opa, dep, bg, dummy, H, W, radii=rad,
         tile_size=tile_size, interpret=True, **kw,
@@ -173,7 +175,7 @@ class TestTiledForward:
         )
         img_t, alpha_t = rasterize_tiled(
             m2d, con, col, opa, dep, bg, jnp.zeros((n, 2)), H, W, radii=rad,
-            tile_size=16, interpret=True,
+            tile_size=16, interpret=True, isect_mult=8,
         )
         np.testing.assert_allclose(
             np.asarray(img_t), np.asarray(img_o), atol=1e-5
@@ -198,7 +200,7 @@ class TestTiledBackward:
         def loss_tiled(m, c, k, o, d):
             img, alpha = rasterize_tiled(
                 m, c, k, o, dep, bg, d, H, W, radii=rad,
-                tile_size=16, interpret=True,
+                tile_size=16, interpret=True, isect_mult=8,
             )
             return jnp.sum(img * g_img) + jnp.sum(alpha**2)
 
@@ -225,7 +227,7 @@ class TestTiledBackward:
         def loss(m, d):
             img, _ = rasterize_tiled(
                 m, con, col, opa, dep, bg, d, H, W, radii=rad,
-                tile_size=16, interpret=True,
+                tile_size=16, interpret=True, isect_mult=8,
             )
             return jnp.sum(img**2)
 
