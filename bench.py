@@ -44,12 +44,23 @@ def main():
     model = init_gaussian_state(xyzs, rgbs, sh_degree=3)
     adam = init_adam_state(model.params)
     cfg = config_from_dict(dict(renderer="tiled", white_background=True))
-    step_fn = make_train_step(cfg, get_render_fn(cfg))
 
     K = jnp.array(
         [[1111.0, 0, w / 2], [0, 1111.0, h / 2], [0, 0, 1.0]], jnp.float32
     )
     w2c = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
+
+    # size the intersection capacity like the trainer's autotune does
+    from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+        make_isect_counter,
+    )
+
+    counter = make_isect_counter(cfg.tile_size, cfg.max_tiles, cfg.max_tiles)
+    n_isect = int(
+        counter(model.params, model.alive, w2c, K, height=h, width=w)
+    )
+    cfg.isect_mult = max(1, -(-int(n_isect * 1.3) // model.capacity))
+    step_fn = make_train_step(cfg, get_render_fn(cfg))
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mask = jnp.zeros((h, w), jnp.float32)
 

@@ -297,6 +297,35 @@ def train(
             cfg.tile_size, cfg.max_tiles, cfg.max_tiles
         )
 
+    def autotune_isect_mult(data):
+        """Size the intersection capacity from the first frame's real
+        count (the capacity drives the gather/scatter costs); the watchdog
+        still grows it if later frames need more."""
+        nonlocal render_fn, train_step
+        if isect_counter is None:
+            return
+        n = int(
+            isect_counter(
+                loop.model.params,
+                loop.model.alive,
+                jnp.asarray(data["w2c"]),
+                jnp.asarray(data["K"]),
+                height=data["height"],
+                width=data["width"],
+            )
+        )
+        want = max(1, -(-int(n * 1.3) // loop.model.capacity))
+        if want != cfg.isect_mult:
+            logger.info(
+                f"isect autotune: {n} intersections on the first frame "
+                f"-> isect_mult {cfg.isect_mult} -> {want}"
+            )
+            cfg.isect_mult = want
+            render_fn = get_render_fn(cfg)
+            train_step = make_train_step(cfg, render_fn)
+            evaluator.render_fn = render_fn
+            evaluator._jitted.clear()
+
     def check_isect_capacity(data):
         nonlocal render_fn, train_step
         if isect_counter is None:
@@ -390,12 +419,17 @@ def train(
     t_start = time.time()
     last_loss = float("nan")
     profiler_active = False
+    autotuned = False
     for data in prefetch_frames(
         scene, "train", shuffle=True, num_workers=cfg.dataloader_workers
     ):
         loop.step += 1
         step = loop.step
         all_tb_info: Dict[str, Any] = {}
+
+        if not autotuned and not cfg.mesh_shape:
+            autotune_isect_mult(data)
+            autotuned = True
 
         # optional profiler window (steps 10 .. 10+profile_steps)
         if cfg.profile_steps > 0 and cfg.output is not None:
