@@ -302,9 +302,11 @@ def _bwd_kernel(
     tstate_ref,  # scratch VMEM [P, 1]
     sstate_ref,  # scratch VMEM [P, 1]
     buf_ref,  # scratch VMEM [2, 24, CHUNK] (double-buffered)
-    dbuf_ref,  # scratch VMEM [16, CHUNK]
+    dbuf_ref,  # scratch VMEM [2, 16, CHUNK] (double-buffered writes)
+    rbuf_ref,  # scratch VMEM [16, CHUNK] (boundary-window merge reads)
     sem_in,  # DMA semaphores [2]
-    sem_out,
+    sem_out,  # DMA semaphores [2]
+    sem_rd,
 ):
     t = pl.program_id(0)
     start = offsets_ref[t]
@@ -336,6 +338,14 @@ def _bwd_kernel(
             sem_in.at[slot],
         )
 
+    def out_dma(k, slot):
+        base = astart + k * CHUNK
+        return pltpu.make_async_copy(
+            dbuf_ref.at[slot],
+            dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            sem_out.at[slot],
+        )
+
     @pl.when(num_chunks > 0)
     def _():
         feats_dma(num_chunks - 1).start()
@@ -343,21 +353,24 @@ def _bwd_kernel(
     def body(kk, _):
         k = num_chunks - 1 - kk
         base = astart + k * CHUNK
+        slot = jax.lax.rem(k, 2)
+        # only the tile's boundary windows share lanes with neighboring
+        # tiles and need a read-merge; interior windows are written whole
+        boundary = (base < start) | (base + CHUNK > end)
+
+        @pl.when(boundary)
+        def _():
+            pltpu.make_async_copy(
+                dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+                rbuf_ref,
+                sem_rd,
+            ).start()
 
         @pl.when(k > 0)
         def _():
             feats_dma(k - 1).start()
 
         feats_dma(k).wait()
-        # read the current output window (merge-RMW for boundary lanes)
-        cp_r = pltpu.make_async_copy(
-            dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
-            dbuf_ref,
-            sem_out,
-        )
-        cp_r.start()
-        cp_r.wait()
-        prev_out = dbuf_ref[...]  # [16, CH]
         buf = buf_ref[jax.lax.rem(k, 2)]
 
         alpha, elig, G, opac, gpos = _chunk_alpha(
@@ -429,15 +442,27 @@ def _bwd_kernel(
             ],
             axis=0,
         )  # [16, CH]
-        in_range = (gpos >= start) & (gpos < end)  # [1, CH]
-        dbuf_ref[...] = jnp.where(in_range, new_out, prev_out)
-        cp_w = pltpu.make_async_copy(
-            dbuf_ref,
-            dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
-            sem_out,
-        )
-        cp_w.start()
-        cp_w.wait()
+
+        # the slot's previous write (chunk k+2) must land before reuse
+        @pl.when(kk >= 2)
+        def _():
+            out_dma(k + 2, slot).wait()
+
+        @pl.when(boundary)
+        def _():
+            pltpu.make_async_copy(
+                dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+                rbuf_ref,
+                sem_rd,
+            ).wait()
+            in_range = (gpos >= start) & (gpos < end)  # [1, CH]
+            dbuf_ref[slot] = jnp.where(in_range, new_out, rbuf_ref[...])
+
+        @pl.when(jnp.logical_not(boundary))
+        def _():
+            dbuf_ref[slot] = new_out
+
+        out_dma(k, slot).start()
 
         tstate_ref[...] = tstate_ref[...] * rc[:, 0:1]
         sstate_ref[...] = sstate_ref[...] + jnp.sum(
@@ -446,6 +471,17 @@ def _bwd_kernel(
         return 0
 
     jax.lax.fori_loop(0, num_chunks, body, 0)
+
+    # drain in-flight writes before the next grid program may read the
+    # shared boundary window (grid runs sequentially in tile order); the
+    # unwaited writes are those of chunks 0 and 1 (slots 0 and 1)
+    @pl.when(num_chunks >= 1)
+    def _():
+        out_dma(0, 0).wait()
+
+    @pl.when(num_chunks >= 2)
+    def _():
+        out_dma(1, 1).wait()
 
 
 def tiled_backward(
@@ -482,7 +518,9 @@ def tiled_backward(
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((2, NUM_FEATURES, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_GRAD_FEATURES, CHUNK), jnp.float32),
             pltpu.VMEM((NUM_GRAD_FEATURES, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],

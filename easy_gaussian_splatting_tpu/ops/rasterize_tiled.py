@@ -380,19 +380,21 @@ def _core_bwd(
     )  # [16, I_pad]; lanes outside every tile's range are zero
 
     c = radii.shape[0]
+    # scatter straight to ORIGINAL Gaussian indices: composing the
+    # rank->sorted reduction with the sorted->original unsort in one
+    # scatter-add saves a second [C,16] scatter pass (out-of-range lanes
+    # carry zero rows, so including them is harmless)
+    orig = binning.order[binning.isect_rank]
     dsum = jnp.zeros((c, 16), jnp.float32)
-    dsum = dsum.at[binning.isect_rank].add(
+    dsum = dsum.at[orig].add(
         jnp.swapaxes(dfeats, 0, 1)[: binning.isect_rank.shape[0]]
     )
 
-    def unsort(x_s):
-        return jnp.zeros_like(x_s).at[binning.order].set(x_s)
-
-    v_m2d = unsort(dsum[:, 0:2])
-    v_conic = unsort(dsum[:, 2:5])
-    v_opac = unsort(dsum[:, 5])
-    v_color = unsort(dsum[:, 6:9])
-    v_abs = unsort(dsum[:, 9:11])
+    v_m2d = dsum[:, 0:2]
+    v_conic = dsum[:, 2:5]
+    v_opac = dsum[:, 5]
+    v_color = dsum[:, 6:9]
+    v_abs = dsum[:, 9:11]
     zero_radii = jnp.zeros_like(radii)
     zero_depths = jnp.zeros_like(depths)
     return (v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths, v_abs)

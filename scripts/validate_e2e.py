@@ -85,6 +85,12 @@ def main():
     random.seed(cfg.random_seed)
     np.random.seed(cfg.random_seed)
 
+    # dump the resolved config like the train.py CLI does, so the run dir
+    # is consumable by eval.py / launch_viewer.py afterwards
+    from easy_gaussian_splatting_tpu.training.config import dump_config
+
+    dump_config(cfg, out_dir / "config.yaml")
+
     t0 = time.time()
     loop = train(cfg)
     wall = time.time() - t0
