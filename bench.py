@@ -59,7 +59,7 @@ def main():
     n_isect = int(
         counter(model.params, model.alive, w2c, K, height=h, width=w)
     )
-    cfg.isect_mult = max(1, -(-int(n_isect * 1.3) // model.capacity))
+    cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
     step_fn = make_train_step(cfg, get_render_fn(cfg))
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mask = jnp.zeros((h, w), jnp.float32)

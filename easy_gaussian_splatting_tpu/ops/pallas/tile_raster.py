@@ -105,6 +105,28 @@ def _cummax_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _tri(ch: int, *, lower: bool, strict: bool) -> jnp.ndarray:
+    """[CH, CH] triangular 0/1 matrix. Lane scans as matmuls: the MXU pads
+    the contraction dim to 128 anyway, so `x @ tri` costs the same as the
+    kernel's K=3 matmuls while a 7-step Hillis-Steele scan costs ~14 VPU
+    passes over [P, CH] (measured 4.3 ms of the 12.4 ms backward)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    if lower:
+        m = (r > c) if strict else (r >= c)
+    else:
+        m = (r < c) if strict else (r <= c)
+    return m.astype(jnp.float32)
+
+
+def _scan_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Prefix/suffix sum along lanes via one MXU matmul."""
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _row(group: jnp.ndarray, idx: int) -> jnp.ndarray:
     """Row ``idx`` of an [8, CH] value as [1, CH] via iota-masked sum."""
     rowid = jax.lax.broadcasted_iota(jnp.int32, group.shape, 0)
@@ -177,6 +199,9 @@ def _fwd_kernel(
             sem.at[slot],
         )
 
+    u_strict = _tri(CHUNK, lower=False, strict=True)
+    u_incl = _tri(CHUNK, lower=False, strict=False)
+
     @pl.when(num_chunks > 0)
     def _():
         dma(jnp.int32(0)).start()
@@ -200,13 +225,18 @@ def _fwd_kernel(
             buf, basis_ref[...], start, end, base
         )
         om = 1.0 - alpha  # [P, CH]
-        cum_excl = _shift_lanes(_cumprod_lanes(om), 1, 1.0)
+        # exclusive prefix product of om, in log space on the MXU
+        # (alpha <= ALPHA_CLAMP keeps om >= 1e-3, so log is well-behaved;
+        # ineligible lanes have alpha=0 -> log(om)=0)
+        l_om = jnp.log(om)
+        cum_excl = jnp.exp(_scan_mm(l_om, u_strict))
         t_in = t_ref[0]  # [P, 1]
         t_g = t_in * cum_excl
         stop = elig & (t_g * om < T_EPS)
         stop_f = stop.astype(jnp.float32)
         done_in = done_ref[...]  # [P, 1]
-        done_incl = (_cummax_lanes(stop_f) > 0.0) | (done_in > 0.0)
+        # prefix-OR of the 0/1 stop flags = inclusive prefix count > 0
+        done_incl = (_scan_mm(stop_f, u_incl) > 0.0) | (done_in > 0.0)
         comp = elig & jnp.logical_not(done_incl)
         w = jnp.where(comp, alpha * t_g, 0.0)  # [P, CH]
 
@@ -217,8 +247,10 @@ def _fwd_kernel(
         )  # [P, 3]
         rgb_ref[0] = rgb_ref[0] + contrib
 
-        om_eff = jnp.where(comp, om, 1.0)
-        t_ref[0] = t_in * _cumprod_lanes(om_eff)[:, -1:]
+        # T update: product of om over composited lanes only
+        t_ref[0] = t_in * jnp.exp(
+            jnp.sum(jnp.where(comp, l_om, 0.0), axis=1, keepdims=True)
+        )
         done_new = jnp.maximum(
             done_in, jnp.max(stop_f, axis=1, keepdims=True)
         )
@@ -328,6 +360,8 @@ def _bwd_kernel(
         jnp.minimum(max_last + 1, end) - astart, 0
     )
     num_chunks = pl.cdiv(n_eff, CHUNK)
+    l_incl = _tri(CHUNK, lower=True, strict=False)
+    l_strict = _tri(CHUNK, lower=True, strict=True)
 
     def feats_dma(k):
         slot = jax.lax.rem(k, 2)
@@ -379,7 +413,9 @@ def _bwd_kernel(
         comp = elig & (gpos <= last)  # [P, CH]
         om = jnp.where(comp, 1.0 - alpha, 1.0)
         inv = 1.0 / om
-        rc = _cumprod_lanes_rev(inv)  # [P, CH]
+        # suffix product of 1/om: log-space suffix sum on the MXU
+        l_om = jnp.log(om)
+        rc = jnp.exp(-_scan_mm(l_om, l_incl))  # [P, CH]
         t_g = tstate_ref[...] * rc
         w = jnp.where(comp, alpha * t_g, 0.0)
 
@@ -390,7 +426,7 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # [P, CH]
         dw = dotc * w
-        rs = _cumsum_lanes_rev(dw) - dw  # sum over j > g within chunk
+        rs = _scan_mm(dw, l_strict)  # sum over j > g within chunk
         s_g = sstate_ref[...] + rs
         v_alpha = jnp.where(comp, dotc * t_g - s_g * inv, 0.0)
         v_sigma = -G * opac * v_alpha  # [P, CH]

@@ -417,7 +417,12 @@ def rasterize_tiled(
     if interpret is None:
         interpret = _interpret_default()
     c = means2d.shape[0]
-    isect_cap = c * isect_mult
+    # fractional isect_mult gives CHUNK-granular capacity: the kernel,
+    # gather, and scatter costs all scale with the cap, and rounding up to
+    # a whole multiple of C can waste >50% of those lanes
+    from .pallas.tile_raster import CHUNK as _CHUNK
+
+    isect_cap = -(-max(1, int(c * isect_mult)) // _CHUNK) * _CHUNK
     # zero-opacity Gaussians (dead capacity slots, alive-mask culls) must
     # not be binned: dead slots project to unit-scale blobs with large
     # radii and would exhaust the intersection capacity, truncating real

@@ -90,7 +90,9 @@ class Config:
     renderer: str = "tiled"  # tiled | ref (oracle; small scenes only)
     raster_chunk: int = 256  # gaussians per compositing chunk (ref renderer)
     tile_size: int = 32  # pixel tile edge for the tiled renderer
-    isect_mult: int = 3  # intersection capacity = isect_mult * capacity
+    # intersection capacity = isect_mult * capacity (fractional, rounded up
+    # to the kernel CHUNK); the trainer autotunes it from the first frame
+    isect_mult: float = 3.0
     max_tiles: int = 6  # tile-duplication budget per gaussian (square)
     max_capacity: int = 4_194_304  # hard cap on Gaussian capacity
     initial_capacity: int = 0  # 0 = auto from point count

@@ -314,7 +314,7 @@ def train(
                 width=data["width"],
             )
         )
-        want = max(1, -(-int(n * 1.3) // loop.model.capacity))
+        want = round(max(0.25, n * 1.3 / loop.model.capacity), 3)
         if want != cfg.isect_mult:
             logger.info(
                 f"isect autotune: {n} intersections on the first frame "

@@ -59,7 +59,7 @@ def main():
     )
     w2c = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
     cfg = config_from_dict(dict(renderer="tiled", white_background=True))
-    isect_cap = cfg.isect_mult * cap
+    isect_cap = -(-int(cfg.isect_mult * cap) // 128) * 128
     params, alive = model.params, model.alive
     geom = image_geometry(h, w, cfg.tile_size)
 

@@ -68,7 +68,7 @@ def main():
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mask = jnp.zeros((h, w), jnp.float32)
     cfg = config_from_dict(dict(renderer="tiled", white_background=True))
-    isect_cap = cfg.isect_mult * cap
+    isect_cap = -(-int(cfg.isect_mult * cap) // 128) * 128
 
     params, alive = model.params, model.alive
 
