@@ -73,9 +73,42 @@ class Binning(NamedTuple):
     num_isects: jnp.ndarray  # [] int32
 
 
+def binning_extents(
+    conics: jnp.ndarray,  # [C, 3]
+    opacities: jnp.ndarray,  # [C]
+    radii: jnp.ndarray,  # [C] circle radius (0 = culled)
+) -> jnp.ndarray:
+    """Tight per-axis half-widths [C, 2] of each Gaussian's *contributing*
+    screen support, for tile binning.
+
+    A pixel at offset d only contributes when alpha = opac * exp(-sigma)
+    >= ALPHA_THRESH (the kernels' eligibility test), i.e. within the
+    ellipse sigma <= ln(opac/thresh), whose axis-aligned bounding box has
+    half-widths sqrt(2 * ln(opac/thresh) * cov_ii). Binning with this
+    rectangle instead of the max-eigenvalue circle is output-exact (the
+    excluded tiles contain no eligible pixel) and substantially reduces
+    intersection counts for anisotropic and low-opacity Gaussians. The
+    cutoff is capped at the 3-sigma convention the reported radii use, so
+    the rectangle never exceeds the circle."""
+    from .rasterize_ref import ALPHA_THRESH
+
+    a, b, c = conics[:, 0], conics[:, 1], conics[:, 2]
+    det_inv = jnp.maximum(a * c - b * b, 1e-12)  # = 1 / det(cov2d)
+    cov00 = jnp.maximum(c / det_inv, 0.0)
+    cov11 = jnp.maximum(a / det_inv, 0.0)
+    s_max = jnp.log(jnp.maximum(opacities, 1e-12) / ALPHA_THRESH)
+    s_max = jnp.clip(s_max, 0.0, 4.5)  # 4.5 = (3 sigma)^2 / 2
+    rx = jnp.sqrt(2.0 * s_max * cov00)
+    ry = jnp.sqrt(2.0 * s_max * cov11)
+    live = (radii > 0.0) & (opacities > ALPHA_THRESH)
+    rx = jnp.where(live, jnp.minimum(rx, radii), 0.0)
+    ry = jnp.where(live, jnp.minimum(ry, radii), 0.0)
+    return jnp.stack([rx, ry], axis=1)
+
+
 def bin_gaussians(
     means2d: jnp.ndarray,  # [C, 2]
-    radii: jnp.ndarray,  # [C] (0 = culled)
+    extents: jnp.ndarray,  # [C, 2] per-axis half-widths, or [C] radii
     depths: jnp.ndarray,  # [C]
     geom: TiledGeometry,
     max_tiles_w: int = DEFAULT_MAX_TILES_W,
@@ -87,17 +120,20 @@ def bin_gaussians(
     num_tiles = geom.num_tiles
     m = max_tiles_w * max_tiles_h
 
-    valid = radii > 0.0
+    if extents.ndim == 1:
+        extents = jnp.stack([extents, extents], axis=1)
+    valid = (extents[:, 0] > 0.0) & (extents[:, 1] > 0.0)
     order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
     m2d = means2d[order]
-    rad = radii[order]
-    valid_s = rad > 0.0
+    ext = extents[order]
+    rx, ry = ext[:, 0], ext[:, 1]
+    valid_s = (rx > 0.0) & (ry > 0.0)
 
     mx, my = m2d[:, 0], m2d[:, 1]
-    tx0 = jnp.clip(jnp.floor((mx - rad) / ts), 0, tx_n - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((mx + rad) / ts), 0, tx_n - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((my - rad) / ts), 0, ty_n - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((my + rad) / ts), 0, ty_n - 1).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((mx - rx) / ts), 0, tx_n - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((mx + rx) / ts), 0, tx_n - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((my - ry) / ts), 0, ty_n - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((my + ry) / ts), 0, ty_n - 1).astype(jnp.int32)
 
     # clamp oversized rects to a centered window (budget M tiles)
     cx = jnp.clip(jnp.floor(mx / ts).astype(jnp.int32), tx0, tx1)
@@ -287,8 +323,9 @@ def _prepare(
     from .pallas.tile_raster import CHUNK
 
     geom = image_geometry(height, width, tile_size)
+    extents = binning_extents(conics, opacities, radii)
     binning = bin_gaussians(
-        means2d, radii, depths, geom, max_tiles_w, max_tiles_h
+        means2d, extents, depths, geom, max_tiles_w, max_tiles_h
     )
     ranks = binning.isect_rank[:isect_cap]
     tiles = binning.isect_tile[:isect_cap]
@@ -380,15 +417,19 @@ def _core_bwd(
     )  # [16, I_pad]; lanes outside every tile's range are zero
 
     c = radii.shape[0]
-    # scatter straight to ORIGINAL Gaussian indices: composing the
-    # rank->sorted reduction with the sorted->original unsort in one
-    # scatter-add saves a second [C,16] scatter pass (out-of-range lanes
-    # carry zero rows, so including them is harmless)
-    orig = binning.order[binning.isect_rank]
-    dsum = jnp.zeros((c, 16), jnp.float32)
-    dsum = dsum.at[orig].add(
+    # reduce per-intersection rows to per-Gaussian rows in SORTED space:
+    # the scatter indices (isect_rank) are ascending within each tile's
+    # slice, and avoiding the orig = order[isect_rank] lookup skips a
+    # pathological scalar 1D gather (measured 3.7 ms for 560k elements —
+    # 4-byte "rows" gather one at a time on TPU). The sorted->original
+    # unsort is then a fast [C,16] row gather by the inverse permutation
+    # (argsort of a permutation is its inverse). Out-of-range lanes carry
+    # zero rows, so including them is harmless.
+    dsum_sorted = jnp.zeros((c, 16), jnp.float32)
+    dsum_sorted = dsum_sorted.at[binning.isect_rank].add(
         jnp.swapaxes(dfeats, 0, 1)[: binning.isect_rank.shape[0]]
     )
+    dsum = dsum_sorted[jnp.argsort(binning.order)]
 
     v_m2d = dsum[:, 0:2]
     v_conic = dsum[:, 2:5]
@@ -461,8 +502,9 @@ def make_isect_counter(
         )
         radii = jnp.where(opac > 0.0, proj.radii, 0.0)
         geom = image_geometry(height, width, tile_size)
+        extents = binning_extents(proj.conics, opac, radii)
         binning = bin_gaussians(
-            proj.means2d, radii, proj.depths, geom, max_tiles_w, max_tiles_h
+            proj.means2d, extents, proj.depths, geom, max_tiles_w, max_tiles_h
         )
         return binning.num_isects
 
