@@ -7,7 +7,7 @@ kernels are tested against).
 
 Data layout (dictated by TPU tiling: VMEM/HBM tiles are (8 sublanes, 128
 lanes), and DMA windows must be 128-lane sized and 128-aligned):
-- per-intersection features are **feature-major** ``[24, I]``: feature rows
+- per-intersection features are **feature-major** ``[16, I]``: feature rows
   on sublanes, intersections on lanes, so a chunk is a ``[:, 128]`` window;
   chunk starts are aligned down to 128 with per-lane range masking;
 - work arrays are ``[P, CH] = [tile_pixels, 128]``: pixels on sublanes,
@@ -37,19 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ..rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
 
 CHUNK = 128
-NUM_FEATURES = 24
+NUM_FEATURES = 16
 # The tile-local polynomial expansion of sigma carries ~1e-4 cancellation
 # error; a hard `sigma >= 0` test would drop pixels right at a Gaussian's
 # center. Accept slightly-negative sigma and clamp the exponent instead
 # (genuinely broken conics produce large-negative sigma and still fail).
 SIGMA_EPS = 1e-3
-# feature rows: 0-5 sigma poly coeffs (px2, py2, pxpy, px, py, 1); 6,7 pad;
-# 8 opacity; 9,10,11 rgb; 12,13,14 conic a,b,c; 15 pad; 16 mx; 17 my
-ROW_OPACITY = 8
-ROW_COLOR = 9
-ROW_CONIC = 12
-ROW_MX = 16
-ROW_MY = 17
+# feature rows [16, I]: 0-5 sigma poly coeffs (px2, py2, pxpy, px, py, 1);
+# rows 6,7 multiply ZERO basis columns in the sigma matmul, so they carry
+# payload (opacity, mx) for free; 8,9,10 rgb; 11,12,13 conic a,b,c; 14 my;
+# 15 pad. Two f32 sublane tiles per 128-lane window.
+ROW_OPACITY = 6  # in the poly group [0:8]
+ROW_MX = 7  # in the poly group [0:8]
+ROW_COLOR = 8
+ROW_CONIC = 11
+ROW_MY = 14
 # gradient rows in the backward output [16, I]:
 # 0 v_mx, 1 v_my, 2 v_a, 3 v_b, 4 v_c, 5 v_opac, 6-8 v_rgb, 9 v_absx,
 # 10 v_absy, 11-15 pad
@@ -146,17 +148,17 @@ def _rows3(group: jnp.ndarray, first: int) -> jnp.ndarray:
 def _chunk_alpha(buf, basis, start, end, base):
     """Shared alpha evaluation for one chunk.
 
-    buf: [24, CH] feature window; basis: [P, 8]; [start, end): the tile's
+    buf: [16, CH] feature window; basis: [P, 8]; [start, end): the tile's
     intersection range; base: global index of lane 0. Returns
     (alpha [P,CH] zeroed when ineligible, elig, G, opac [1,CH], gpos [1,CH]).
     """
-    poly = buf[0:8, :]  # [8, CH]
+    poly = buf[0:8, :]  # [8, CH] (rows 6,7 carry opac/mx; basis cols 6,7=0)
     sigma = jax.lax.dot_general(
         basis, poly, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [P, CH]
     G = jnp.exp(-jnp.maximum(sigma, 0.0))
-    opac = _row(buf[8:16, :], ROW_OPACITY - 8)  # [1, CH]
+    opac = _row(poly, ROW_OPACITY)  # [1, CH]
     alpha_raw = opac * G
     alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, sigma.shape[1]), 1)
@@ -169,12 +171,12 @@ def _chunk_alpha(buf, basis, start, end, base):
 
 def _fwd_kernel(
     offsets_ref,  # scalar prefetch [T+1]
-    feats_ref,  # HBM [24, I_pad]
+    feats_ref,  # HBM [16, I_pad]
     basis_ref,  # VMEM [P, 8]
     rgb_ref,  # out [1, P, 3]
     t_ref,  # out [1, P, 1]
     last_ref,  # out [1, P, 1] int32
-    buf_ref,  # scratch VMEM [2, 24, CHUNK] (double-buffered)
+    buf_ref,  # scratch VMEM [2, 16, CHUNK] (double-buffered)
     done_ref,  # scratch VMEM [P, 1] float32 (0/1)
     sem,  # DMA semaphores [2]
 ):
@@ -240,7 +242,7 @@ def _fwd_kernel(
         comp = elig & jnp.logical_not(done_incl)
         w = jnp.where(comp, alpha * t_g, 0.0)  # [P, CH]
 
-        col = _rows3(buf[8:16, :], ROW_COLOR - 8)  # [3, CH]
+        col = _rows3(buf[8:16, :], ROW_COLOR - 8)  # [3, CH] rows 8-10
         contrib = jax.lax.dot_general(
             w, col, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -283,7 +285,7 @@ def _fwd_kernel(
 
 
 def tiled_forward(
-    feats: jnp.ndarray,  # [24, I_pad] (I_pad multiple of CHUNK, + CHUNK pad)
+    feats: jnp.ndarray,  # [16, I_pad] (I_pad multiple of CHUNK, + CHUNK pad)
     tile_offsets: jnp.ndarray,  # [T+1] int32
     basis: jnp.ndarray,  # [P, 8]
     num_tiles: int,
@@ -324,7 +326,7 @@ def tiled_forward(
 
 def _bwd_kernel(
     offsets_ref,  # scalar prefetch [T+1]
-    feats_ref,  # HBM [24, I_pad]
+    feats_ref,  # HBM [16, I_pad]
     basis_ref,  # VMEM [P, 8]
     gimg_ref,  # VMEM block [1, 3, P]
     gt_ref,  # VMEM block [1, P, 1]
@@ -333,7 +335,7 @@ def _bwd_kernel(
     dfeats_ref,  # HBM out [16, I_pad]
     tstate_ref,  # scratch VMEM [P, 1]
     sstate_ref,  # scratch VMEM [P, 1]
-    buf_ref,  # scratch VMEM [2, 24, CHUNK] (double-buffered)
+    buf_ref,  # scratch VMEM [2, 16, CHUNK] (double-buffered)
     dbuf_ref,  # scratch VMEM [2, 16, CHUNK] (double-buffered writes)
     rbuf_ref,  # scratch VMEM [16, CHUNK] (boundary-window merge reads)
     sem_in,  # DMA semaphores [2]
@@ -420,7 +422,7 @@ def _bwd_kernel(
         w = jnp.where(comp, alpha * t_g, 0.0)
 
         grp1 = buf[8:16, :]
-        col = _rows3(grp1, ROW_COLOR - 8)  # [3, CH]
+        col = _rows3(grp1, ROW_COLOR - 8)  # [3, CH] rows 8-10
         dotc = jax.lax.dot_general(
             gimg, col, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -442,12 +444,11 @@ def _bwd_kernel(
         )  # [3, CH]
         v_opac = jnp.sum(G * v_alpha, axis=0, keepdims=True)  # [1, CH]
 
-        grp2 = buf[16:24, :]
         a = _row(grp1, ROW_CONIC - 8)
         b = _row(grp1, ROW_CONIC - 8 + 1)
         cc = _row(grp1, ROW_CONIC - 8 + 2)
-        mx = _row(grp2, ROW_MX - 16)
-        my = _row(grp2, ROW_MY - 16)
+        mx = _row(buf[0:8, :], ROW_MX)
+        my = _row(grp1, ROW_MY - 8)
         px = basis_ref[:, 3:4]  # [P, 1] whole-column reads of the basis
         py = basis_ref[:, 4:5]
         dx = mx - px  # [P, CH]
@@ -521,7 +522,7 @@ def _bwd_kernel(
 
 
 def tiled_backward(
-    feats: jnp.ndarray,  # [24, I_pad]
+    feats: jnp.ndarray,  # [16, I_pad]
     tile_offsets: jnp.ndarray,  # [T+1]
     basis: jnp.ndarray,  # [P, 8]
     gimg_tiles: jnp.ndarray,  # [T, 3, P]

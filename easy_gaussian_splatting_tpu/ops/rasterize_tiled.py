@@ -20,10 +20,10 @@ TPU-first redesign of the CUDA tile pipeline:
   coordinates as a 6-coefficient polynomial, so in-kernel evaluation is an
   [c, 8] x [8, tile_pixels] MXU matmul (local coords keep f32 exact).
 
-Gaussians covering more than the duplication budget are clamped to a
-centered window of tiles (a bounded approximation the CUDA kernel does not
-need; only affects footprints larger than ``max_tiles_* x tile_size``
-pixels).
+Gaussians covering more than the duplication budget (w*h <=
+max_tiles_w*max_tiles_h tiles, flexible aspect) are clamped to a centered
+window (a bounded approximation the CUDA kernel does not need; only
+affects footprints beyond the budget's tile area).
 """
 
 from __future__ import annotations
@@ -37,10 +37,10 @@ import jax.numpy as jnp
 from .projection import CameraIntrinsics, project_gaussians
 
 DEFAULT_TILE = 32
-DEFAULT_MAX_TILES_W = 6
-DEFAULT_MAX_TILES_H = 6
+DEFAULT_MAX_TILES_W = 4
+DEFAULT_MAX_TILES_H = 4
 
-# The per-intersection feature matrix is FEATURE-MAJOR [24, I] (rows on
+# The per-intersection feature matrix is FEATURE-MAJOR [16, I] (rows on
 # sublanes, intersections on lanes) — see pallas/tile_raster.py for the row
 # layout; TPU DMA windows must be 128-lane slices, which this layout gives.
 
@@ -135,23 +135,24 @@ def bin_gaussians(
     ty0 = jnp.clip(jnp.floor((my - ry) / ts), 0, ty_n - 1).astype(jnp.int32)
     ty1 = jnp.clip(jnp.floor((my + ry) / ts), 0, ty_n - 1).astype(jnp.int32)
 
-    # clamp oversized rects to a centered window (budget M tiles)
+    # flexible duplication budget: each Gaussian may cover any w x h tile
+    # window with w*h <= M (= max_tiles_w * max_tiles_h); oversized rects
+    # shrink their LARGER dimension to fit, centered on the Gaussian's
+    # tile. Unlike a per-dimension cap this keeps elongated footprints
+    # (e.g. 12x1) exact and lets the budget M - which sets the sort-domain
+    # size C*M - be much smaller for the same fidelity.
     cx = jnp.clip(jnp.floor(mx / ts).astype(jnp.int32), tx0, tx1)
     cy = jnp.clip(jnp.floor(my / ts).astype(jnp.int32), ty0, ty1)
-    w = tx1 - tx0 + 1
-    h = ty1 - ty0 + 1
-    tx0 = jnp.where(
-        w > max_tiles_w,
-        jnp.clip(cx - max_tiles_w // 2, tx0, tx1 - max_tiles_w + 1),
-        tx0,
-    )
-    ty0 = jnp.where(
-        h > max_tiles_h,
-        jnp.clip(cy - max_tiles_h // 2, ty0, ty1 - max_tiles_h + 1),
-        ty0,
-    )
-    w = jnp.minimum(w, max_tiles_w)
-    h = jnp.minimum(h, max_tiles_h)
+    w = jnp.minimum(tx1 - tx0 + 1, m)
+    h = jnp.minimum(ty1 - ty0 + 1, m)
+    over = w * h > m
+    shrink_w = over & (w >= h)
+    w = jnp.where(shrink_w, jnp.maximum(m // h, 1), w)
+    h = jnp.where(over & jnp.logical_not(shrink_w), jnp.maximum(m // w, 1), h)
+    # re-center the (possibly shrunk) window inside the true rect; when
+    # nothing shrank the clip bounds collapse to the original corner
+    tx0 = jnp.clip(cx - (w - 1) // 2, tx0, tx1 - w + 1)
+    ty0 = jnp.clip(cy - (h - 1) // 2, ty0, ty1 - h + 1)
     count = jnp.where(valid_s, w * h, 0)  # [C]
 
     j = jnp.arange(m, dtype=jnp.int32)[None, :]  # [1, M]
@@ -204,7 +205,7 @@ def pack_features(
     binning: Binning,
     geom: TiledGeometry,
 ) -> jnp.ndarray:
-    """Per-intersection feature matrix [24, I], feature-major, with
+    """Per-intersection feature matrix [16, I], feature-major, with
     tile-local sigma polynomial coefficients. Differentiable w.r.t. the
     float inputs.
 
@@ -240,19 +241,16 @@ def pack_features(
             -(a * mx + b * my),  # 3: * px
             -(cc * my + b * mx),  # 4: * py
             0.5 * a * mx * mx + 0.5 * cc * my * my + b * mx * my,  # 5: * 1
-            zero,  # 6
-            zero,  # 7
-            opa,  # 8
-            col[:, 0],  # 9
-            col[:, 1],  # 10
-            col[:, 2],  # 11
-            a,  # 12
-            b,  # 13
-            cc,  # 14
+            opa,  # 6: payload row (basis col 6 is zero)
+            mx,  # 7: payload row (basis col 7 is zero)
+            col[:, 0],  # 8
+            col[:, 1],  # 9
+            col[:, 2],  # 10
+            a,  # 11
+            b,  # 12
+            cc,  # 13
+            my,  # 14
             zero,  # 15
-            mx,  # 16
-            my,  # 17
-            zero, zero, zero, zero, zero, zero,  # 18-23
         ],
         axis=0,
     )
@@ -424,7 +422,9 @@ def _core_bwd(
     # 4-byte "rows" gather one at a time on TPU). The sorted->original
     # unsort is then a fast [C,16] row gather by the inverse permutation
     # (argsort of a permutation is its inverse). Out-of-range lanes carry
-    # zero rows, so including them is harmless.
+    # zero rows, so including them is harmless. (A collision-free
+    # scatter-SET into [C*M, 16] slots was tried and is 2.3x SLOWER in
+    # the real graph — the big transient defeats XLA's fusion.)
     dsum_sorted = jnp.zeros((c, 16), jnp.float32)
     dsum_sorted = dsum_sorted.at[binning.isect_rank].add(
         jnp.swapaxes(dfeats, 0, 1)[: binning.isect_rank.shape[0]]

@@ -93,7 +93,8 @@ class Config:
     # intersection capacity = isect_mult * capacity (fractional, rounded up
     # to the kernel CHUNK); the trainer autotunes it from the first frame
     isect_mult: float = 3.0
-    max_tiles: int = 6  # tile-duplication budget per gaussian (square)
+    max_tiles: int = 4  # duplication budget: max_tiles^2 tiles/gaussian
+    # (flexible w*h <= max_tiles^2 window; either dim may span the budget)
     max_capacity: int = 4_194_304  # hard cap on Gaussian capacity
     initial_capacity: int = 0  # 0 = auto from point count
     save_optimizer_state: bool = False  # include Adam state in checkpoints
