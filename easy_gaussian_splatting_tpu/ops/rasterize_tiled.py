@@ -113,6 +113,8 @@ def bin_gaussians(
     geom: TiledGeometry,
     max_tiles_w: int = DEFAULT_MAX_TILES_W,
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
+    conics: jnp.ndarray | None = None,  # [C, 3] enables the exact tile test
+    opacities: jnp.ndarray | None = None,  # [C] required with conics
 ) -> Binning:
     c = means2d.shape[0]
     ts = geom.tile_size
@@ -160,9 +162,56 @@ def bin_gaussians(
     jy = j // w_safe
     jx = j % w_safe
     tile = (ty0[:, None] + jy) * tx_n + tx0[:, None] + jx  # [C, M]
-    keys = jnp.where(
-        (j < count[:, None]) & valid_s[:, None], tile, num_tiles
-    ).astype(jnp.int32)
+    live = (j < count[:, None]) & valid_s[:, None]  # [C, M]
+
+    if conics is not None:
+        # exact ellipse/tile test: drop duplicates whose contributing
+        # ellipse {sigma <= s_max} misses the tile's pixel rectangle (the
+        # bounding rectangle overlaps the tile, but for anisotropic /
+        # diagonal footprints up to ~half its corner tiles contain no
+        # eligible pixel — sigma here matches the kernels' eligibility
+        # test alpha = opac*exp(-sigma) >= ALPHA_THRESH exactly, so the
+        # pruning is output-exact). The box-constrained minimum of the
+        # convex quadratic sigma(d) = 0.5*a*dx^2 + 0.5*c*dy^2 + b*dx*dy
+        # is 0 when the mean lies inside the rect, else it lies on one of
+        # the 4 edges, each a clamped 1D quadratic — cheap [C, M]
+        # elementwise math that shrinks every downstream cost (sort
+        # occupancy, feature gather, kernel chunks, gradient scatter).
+        from .rasterize_ref import ALPHA_THRESH
+
+        con_s = conics[order]
+        opa_s = opacities[order]
+        a = con_s[:, 0:1]
+        b = con_s[:, 1:2]
+        cc = con_s[:, 2:3]
+        s_max = jnp.log(jnp.maximum(opa_s, 1e-12) / ALPHA_THRESH)
+        s_max = jnp.clip(s_max, 0.0, 4.5)[:, None]  # [C, 1]
+        # tile rect in mean-relative coords [C, M]
+        x0 = ((tx0[:, None] + jx) * ts).astype(jnp.float32) - mx[:, None]
+        y0 = ((ty0[:, None] + jy) * ts).astype(jnp.float32) - my[:, None]
+        x1 = x0 + ts
+        y1 = y0 + ts
+        a_safe = jnp.maximum(a, 1e-12)
+        c_safe = jnp.maximum(cc, 1e-12)
+
+        def sig(dx, dy):
+            return 0.5 * a * dx * dx + 0.5 * cc * dy * dy + b * dx * dy
+
+        def edge_x(xe):  # minimize over dy in [y0, y1] at dx = xe
+            return sig(xe, jnp.clip(-b * xe / c_safe, y0, y1))
+
+        def edge_y(ye):  # minimize over dx in [x0, x1] at dy = ye
+            return sig(jnp.clip(-b * ye / a_safe, x0, x1), ye)
+
+        s_edge = jnp.minimum(
+            jnp.minimum(edge_x(x0), edge_x(x1)),
+            jnp.minimum(edge_y(y0), edge_y(y1)),
+        )
+        inside = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+        s_min = jnp.where(inside, 0.0, s_edge)
+        live = live & (s_min <= s_max)
+
+    keys = jnp.where(live, tile, num_tiles).astype(jnp.int32)
     ranks = jnp.broadcast_to(
         jnp.arange(c, dtype=jnp.int32)[:, None], (c, m)
     )
@@ -323,7 +372,8 @@ def _prepare(
     geom = image_geometry(height, width, tile_size)
     extents = binning_extents(conics, opacities, radii)
     binning = bin_gaussians(
-        means2d, extents, depths, geom, max_tiles_w, max_tiles_h
+        means2d, extents, depths, geom, max_tiles_w, max_tiles_h,
+        conics=conics, opacities=opacities,
     )
     ranks = binning.isect_rank[:isect_cap]
     tiles = binning.isect_tile[:isect_cap]
@@ -504,7 +554,8 @@ def make_isect_counter(
         geom = image_geometry(height, width, tile_size)
         extents = binning_extents(proj.conics, opac, radii)
         binning = bin_gaussians(
-            proj.means2d, extents, proj.depths, geom, max_tiles_w, max_tiles_h
+            proj.means2d, extents, proj.depths, geom, max_tiles_w,
+            max_tiles_h, conics=proj.conics, opacities=opac,
         )
         return binning.num_isects
 

@@ -281,3 +281,57 @@ class TestDeadSlots:
         np.testing.assert_allclose(
             np.asarray(img_t), np.asarray(img_o), atol=2e-5
         )
+
+
+class TestEllipseTileTest:
+    """The exact ellipse/tile refinement (bin_gaussians with conics) must
+    only drop duplicates whose tile contains no eligible pixel center —
+    output-exact vs the rectangle-only binning."""
+
+    def test_prunes_only_ineligible_tiles(self, rng):
+        from easy_gaussian_splatting_tpu.ops.rasterize_ref import ALPHA_THRESH
+        from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+            binning_extents,
+        )
+
+        m2d, con, col, opa, rad, dep = _scene(rng, n=80, big=True)
+        geom = image_geometry(H, W, 16)
+        ext = binning_extents(con, opa, rad)
+        b_rect = bin_gaussians(m2d, ext, dep, geom, 8, 8)
+        b_ell = bin_gaussians(
+            m2d, ext, dep, geom, 8, 8, conics=con, opacities=opa
+        )
+        # refinement is monotone: a subset of the rectangle binning
+        assert int(b_ell.num_isects) <= int(b_rect.num_isects)
+
+        def pairs(b):
+            offs = np.asarray(b.tile_offsets)
+            ranks = np.asarray(b.isect_rank)
+            out = set()
+            for t in range(geom.num_tiles):
+                for r in ranks[offs[t]: offs[t + 1]].tolist():
+                    out.add((t, r))
+            return out
+
+        kept = pairs(b_ell)
+        dropped = pairs(b_rect) - kept
+        assert dropped, "scene should exercise the pruning path"
+        # ranks index depth-sorted arrays; map back through the same order
+        order = np.asarray(b_ell.order)
+        m2d_s = np.asarray(m2d)[order]
+        con_s = np.asarray(con)[order]
+        opa_s = np.asarray(opa)[order]
+        ts = geom.tile_size
+        for (t, r) in dropped:
+            tx, ty = t % geom.tiles_x, t // geom.tiles_x
+            px = tx * ts + np.arange(ts) + 0.5
+            py = ty * ts + np.arange(ts) + 0.5
+            dx = px[None, :] - m2d_s[r, 0]
+            dy = py[:, None] - m2d_s[r, 1]
+            a, bb, cc = con_s[r]
+            sigma = 0.5 * a * dx**2 + 0.5 * cc * dy**2 + bb * dx * dy
+            alpha = opa_s[r] * np.exp(-sigma)
+            assert alpha.max() < ALPHA_THRESH, (
+                f"pruned (tile {t}, rank {r}) had an eligible pixel "
+                f"(max alpha {alpha.max():.4f})"
+            )
