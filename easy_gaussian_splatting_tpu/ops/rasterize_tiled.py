@@ -475,11 +475,19 @@ def _core_bwd(
     # zero rows, so including them is harmless. (A collision-free
     # scatter-SET into [C*M, 16] slots was tried and is 2.3x SLOWER in
     # the real graph — the big transient defeats XLA's fusion.)
-    dsum_sorted = jnp.zeros((c, 16), jnp.float32)
+    # only the first 12 feature columns carry gradient payload (cols 11+
+    # are basis/padding); 12 vs 16 scatter width measured identical on
+    # chip, so move the narrower rows
+    dsum_sorted = jnp.zeros((c, 12), jnp.float32)
     dsum_sorted = dsum_sorted.at[binning.isect_rank].add(
-        jnp.swapaxes(dfeats, 0, 1)[: binning.isect_rank.shape[0]]
+        jnp.swapaxes(dfeats, 0, 1)[: binning.isect_rank.shape[0], :12]
     )
-    dsum = dsum_sorted[jnp.argsort(binning.order)]
+    # unsort via scatter-SET by the forward permutation (rows of a
+    # permutation are unique) — measured equal to the argsort-gather
+    # inverse but skips materializing argsort(order)
+    dsum = jnp.zeros((c, 12), jnp.float32).at[binning.order].set(
+        dsum_sorted, unique_indices=True
+    )
 
     v_m2d = dsum[:, 0:2]
     v_conic = dsum[:, 2:5]
