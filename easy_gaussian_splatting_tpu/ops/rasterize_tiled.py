@@ -7,10 +7,13 @@ alpha compositing, and the hand-derived backward (in
 ``pallas/tile_raster.py``).
 
 TPU-first redesign of the CUDA tile pipeline:
-- no global radix sort of (tile|depth) keys: Gaussians are depth-sorted
-  once globally (one ``lax.sort`` of N keys), then duplicated into at most
-  ``max_tiles_w x max_tiles_h`` covered tiles and **stably** sorted by tile
-  id only — stability preserves the depth order within each tile;
+- no global radix sort of (tile|depth) keys and no depth-sorted array
+  copies: a cheap double-argsort yields each Gaussian's depth RANK, the
+  duplicates are keyed by packed (tile, rank) — whose comparator equals
+  tile-major/depth-minor ordering — and the sort payload is the ORIGINAL
+  Gaussian index, so every downstream gather/scatter addresses the
+  caller's arrays directly (each avoided [C,k] permutation gather costs
+  ~1.1 ms at C=131k; TPU moves ~1 row per 10 ns regardless of width);
 - per-tile index lists become one flat intersection array plus a [T+1]
   offsets table (CSR-style), consumed by a Pallas kernel whose grid walks
   tiles with scalar-prefetched offsets;
@@ -64,10 +67,15 @@ def image_geometry(height: int, width: int, tile_size: int) -> TiledGeometry:
 
 
 class Binning(NamedTuple):
-    """CSR-style per-tile intersection lists over depth-sorted Gaussians."""
+    """CSR-style per-tile intersection lists, depth-ordered within tile.
+
+    Intersections are indexed in ORIGINAL Gaussian index space: gathers
+    and gradient scatters address the caller's arrays directly, with no
+    intermediate depth-sorted copies (each avoided [C,k] permutation
+    gather costs ~10 ns/row on TPU regardless of row width)."""
 
     order: jnp.ndarray  # [C] depth argsort (invalid gaussians at the end)
-    isect_rank: jnp.ndarray  # [C*M] rank into sorted arrays, tile-grouped
+    isect_orig: jnp.ndarray  # [C*M] original gaussian index, tile-grouped
     isect_tile: jnp.ndarray  # [C*M] tile id per intersection (T = invalid)
     tile_offsets: jnp.ndarray  # [T+1]
     num_isects: jnp.ndarray  # [] int32
@@ -125,13 +133,16 @@ def bin_gaussians(
     if extents.ndim == 1:
         extents = jnp.stack([extents, extents], axis=1)
     valid = (extents[:, 0] > 0.0) & (extents[:, 1] > 0.0)
+    # everything below stays in ORIGINAL index space: the depth sort is
+    # carried as a per-Gaussian rank in the sort key, never as permuted
+    # copies of the per-Gaussian arrays (argsorts are ~0.15 ms; each
+    # avoided [C,k] gather is ~1.1 ms at C=131k)
     order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
-    m2d = means2d[order]
-    ext = extents[order]
-    rx, ry = ext[:, 0], ext[:, 1]
-    valid_s = (rx > 0.0) & (ry > 0.0)
+    rank = jnp.argsort(order)  # [C] depth rank of each original index
+    rx, ry = extents[:, 0], extents[:, 1]
+    valid_s = valid
 
-    mx, my = m2d[:, 0], m2d[:, 1]
+    mx, my = means2d[:, 0], means2d[:, 1]
     tx0 = jnp.clip(jnp.floor((mx - rx) / ts), 0, tx_n - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((mx + rx) / ts), 0, tx_n - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((my - ry) / ts), 0, ty_n - 1).astype(jnp.int32)
@@ -179,11 +190,10 @@ def bin_gaussians(
         # occupancy, feature gather, kernel chunks, gradient scatter).
         from .rasterize_ref import ALPHA_THRESH
 
-        con_s = conics[order]
-        opa_s = opacities[order]
-        a = con_s[:, 0:1]
-        b = con_s[:, 1:2]
-        cc = con_s[:, 2:3]
+        a = conics[:, 0:1]
+        b = conics[:, 1:2]
+        cc = conics[:, 2:3]
+        opa_s = opacities
         s_max = jnp.log(jnp.maximum(opa_s, 1e-12) / ALPHA_THRESH)
         s_max = jnp.clip(s_max, 0.0, 4.5)[:, None]  # [C, 1]
         # tile rect in mean-relative coords [C, M]
@@ -212,34 +222,41 @@ def bin_gaussians(
         live = live & (s_min <= s_max)
 
     keys = jnp.where(live, tile, num_tiles).astype(jnp.int32)
-    ranks = jnp.broadcast_to(
+    origs = jnp.broadcast_to(
         jnp.arange(c, dtype=jnp.int32)[:, None], (c, m)
     )
 
     rank_bits = max(1, (c - 1).bit_length())
     tile_bits = num_tiles.bit_length()  # ids 0..num_tiles (incl. sentinel)
     if rank_bits + tile_bits <= 31:
-        # pack (tile, rank) into one int32 key: keys are unique, so a
-        # single-operand non-stable sort replaces the stable two-operand
-        # sort (~40% cheaper) while preserving depth order within tiles
-        packed = (keys << rank_bits) | ranks
-        sorted_packed = jax.lax.sort(packed.reshape(-1), is_stable=False)
-        sorted_keys = (sorted_packed >> rank_bits).astype(jnp.int32)
-        sorted_ranks = (
-            sorted_packed & ((1 << rank_bits) - 1)
-        ).astype(jnp.int32)
-    else:
-        sorted_keys, sorted_ranks = jax.lax.sort(
-            (keys.reshape(-1), ranks.reshape(-1)),
+        # pack (tile, depth-rank) into one int32 key — the comparator
+        # orders by tile then by depth within the tile, exactly like a
+        # stable sort of depth-sorted duplicates — and carry the ORIGINAL
+        # index as the sort payload so downstream gathers/scatters need
+        # no sorted->original translation
+        packed = (keys << rank_bits) | rank[:, None]
+        sorted_packed, sorted_orig = jax.lax.sort(
+            (packed.reshape(-1), origs.reshape(-1)),
             num_keys=1,
-            is_stable=True,
+            is_stable=False,
+        )
+        sorted_keys = (sorted_packed >> rank_bits).astype(jnp.int32)
+    else:
+        sorted_keys, _, sorted_orig = jax.lax.sort(
+            (
+                keys.reshape(-1),
+                jnp.broadcast_to(rank[:, None], (c, m)).reshape(-1),
+                origs.reshape(-1),
+            ),
+            num_keys=2,
+            is_stable=False,
         )
     tile_offsets = jnp.searchsorted(
         sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     return Binning(
         order=order,
-        isect_rank=sorted_ranks,
+        isect_orig=sorted_orig,
         isect_tile=sorted_keys,
         tile_offsets=tile_offsets,
         num_isects=tile_offsets[num_tiles],
@@ -247,28 +264,21 @@ def bin_gaussians(
 
 
 def pack_features(
-    m2d_s: jnp.ndarray,  # [C, 2] depth-sorted means
-    conics_s: jnp.ndarray,  # [C, 3]
-    colors_s: jnp.ndarray,  # [C, 3]
-    opac_s: jnp.ndarray,  # [C]
+    g9: jnp.ndarray,  # [C, 9] = [means2d | conics | colors | opacity]
     binning: Binning,
     geom: TiledGeometry,
 ) -> jnp.ndarray:
     """Per-intersection feature matrix [16, I], feature-major, with
-    tile-local sigma polynomial coefficients. Differentiable w.r.t. the
-    float inputs.
+    tile-local sigma polynomial coefficients. Differentiable w.r.t. g9.
 
-    TPU gathers are expensive, so the four per-Gaussian arrays are packed
-    into one [C, 9] matrix and gathered by intersection rank ONCE."""
-    ranks = binning.isect_rank
+    TPU gathers are expensive (~10 ns per row regardless of width), so
+    the four per-Gaussian arrays are packed into one [C, 9] matrix and
+    gathered by ORIGINAL intersection index exactly once."""
     tiles = jnp.minimum(binning.isect_tile, geom.num_tiles - 1)
     ox = (tiles % geom.tiles_x).astype(jnp.float32) * geom.tile_size
     oy = (tiles // geom.tiles_x).astype(jnp.float32) * geom.tile_size
 
-    g9 = jnp.concatenate(
-        [m2d_s, conics_s, colors_s, opac_s[:, None]], axis=1
-    )  # [C, 9]
-    gi = g9[ranks]  # [I, 9] — the one big gather
+    gi = g9[binning.isect_orig]  # [I, 9] — the one big gather
     m2d = gi[:, 0:2]
     con = gi[:, 2:5]
     col = gi[:, 5:8]
@@ -375,22 +385,17 @@ def _prepare(
         means2d, extents, depths, geom, max_tiles_w, max_tiles_h,
         conics=conics, opacities=opacities,
     )
-    ranks = binning.isect_rank[:isect_cap]
-    tiles = binning.isect_tile[:isect_cap]
     sliced = Binning(
         order=binning.order,
-        isect_rank=ranks,
-        isect_tile=tiles,
+        isect_orig=binning.isect_orig[:isect_cap],
+        isect_tile=binning.isect_tile[:isect_cap],
         tile_offsets=jnp.minimum(binning.tile_offsets, isect_cap),
         num_isects=binning.num_isects,
     )
     g9 = jnp.concatenate(
         [means2d, conics, colors, opacities[:, None]], axis=1
     )  # [C, 9]
-    g9_s = g9[binning.order]  # one gather for the depth sort
-    feats = pack_features(
-        g9_s[:, 0:2], g9_s[:, 2:5], g9_s[:, 5:8], g9_s[:, 8], sliced, geom
-    )
+    feats = pack_features(g9, sliced, geom)
     # pad lanes so aligned-down DMA windows never run past the array
     i_pad = -(-isect_cap // CHUNK) * CHUNK + CHUNK
     feats = jnp.pad(feats, ((0, 0), (0, i_pad - feats.shape[1])))
@@ -465,28 +470,15 @@ def _core_bwd(
     )  # [16, I_pad]; lanes outside every tile's range are zero
 
     c = radii.shape[0]
-    # reduce per-intersection rows to per-Gaussian rows in SORTED space:
-    # the scatter indices (isect_rank) are ascending within each tile's
-    # slice, and avoiding the orig = order[isect_rank] lookup skips a
-    # pathological scalar 1D gather (measured 3.7 ms for 560k elements —
-    # 4-byte "rows" gather one at a time on TPU). The sorted->original
-    # unsort is then a fast [C,16] row gather by the inverse permutation
-    # (argsort of a permutation is its inverse). Out-of-range lanes carry
-    # zero rows, so including them is harmless. (A collision-free
-    # scatter-SET into [C*M, 16] slots was tried and is 2.3x SLOWER in
-    # the real graph — the big transient defeats XLA's fusion.)
-    # only the first 12 feature columns carry gradient payload (cols 11+
-    # are basis/padding); 12 vs 16 scatter width measured identical on
-    # chip, so move the narrower rows
-    dsum_sorted = jnp.zeros((c, 12), jnp.float32)
-    dsum_sorted = dsum_sorted.at[binning.isect_rank].add(
-        jnp.swapaxes(dfeats, 0, 1)[: binning.isect_rank.shape[0], :12]
-    )
-    # unsort via scatter-SET by the forward permutation (rows of a
-    # permutation are unique) — measured equal to the argsort-gather
-    # inverse but skips materializing argsort(order)
-    dsum = jnp.zeros((c, 12), jnp.float32).at[binning.order].set(
-        dsum_sorted, unique_indices=True
+    # reduce per-intersection rows to per-Gaussian rows in ONE scatter-add
+    # straight to original indices (isect_orig is the sort payload, so no
+    # sorted->original translation pass exists at all). Out-of-range lanes
+    # carry zero gradient rows, so including them is harmless. Only the
+    # first 12 feature columns carry gradient payload (cols 12+ are
+    # basis/padding); 12 vs 16 scatter width measured identical on chip,
+    # so move the narrower rows.
+    dsum = jnp.zeros((c, 12), jnp.float32).at[binning.isect_orig].add(
+        jnp.swapaxes(dfeats, 0, 1)[: binning.isect_orig.shape[0], :12]
     )
 
     v_m2d = dsum[:, 0:2]

@@ -128,10 +128,10 @@ def main():
     t_scat = timeit(
         "scatter-add [I,16] -> [C,16]",
         jax.jit(lambda d, r: scatter_add(d, r).sum()),
-        dfeats, binning.isect_rank,
+        dfeats, binning.isect_orig,
     )
 
-    dsum = scatter_add(dfeats, binning.isect_rank)
+    dsum = scatter_add(dfeats, binning.isect_orig)
 
     # 3. unsort scatters
     def unsort_all(dsum, order):

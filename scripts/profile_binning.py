@@ -102,7 +102,7 @@ def main():
 
     t_bin = timeit(
         "bin_gaussians (full)",
-        jax.jit(lambda m, r, d: bin_gaussians(m, r, d, geom).isect_rank),
+        jax.jit(lambda m, r, d: bin_gaussians(m, r, d, geom).isect_orig),
         m2d, radii, depths,
     )
 
@@ -147,7 +147,7 @@ def main():
     binning = jax.block_until_ready(binning)
     sliced = Binning(
         order=binning.order,
-        isect_rank=binning.isect_rank[:isect_cap],
+        isect_orig=binning.isect_orig[:isect_cap],
         isect_tile=binning.isect_tile[:isect_cap],
         tile_offsets=jnp.minimum(binning.tile_offsets, isect_cap),
         num_isects=binning.num_isects,
@@ -155,11 +155,7 @@ def main():
 
     def pack_only(m2d, conics, colors, opac):
         g9 = jnp.concatenate([m2d, conics, colors, opac[:, None]], axis=1)
-        g9_s = g9[sliced.order]
-        return pack_features(
-            g9_s[:, 0:2], g9_s[:, 2:5], g9_s[:, 5:8], g9_s[:, 8],
-            sliced, geom,
-        ).sum()
+        return pack_features(g9, sliced, geom).sum()
 
     t_pack = timeit(
         "pack_features (gathers + stack)",

@@ -56,37 +56,30 @@ class TestBinning:
         offs = np.asarray(b.tile_offsets)
         assert offs[0] == 0
         assert np.all(np.diff(offs) >= 0)
-        ranks = np.asarray(b.isect_rank)
+        origs = np.asarray(b.isect_orig)
         tiles = np.asarray(b.isect_tile)
+        dep_np = np.asarray(dep)
         n_isect = int(b.num_isects)
         assert n_isect == offs[-1]
-        # within each tile, ranks are ascending = depth-ordered
+        # within each tile: correct tile ids, depth-ascending, no dups
         for t in range(geom.num_tiles):
-            r = ranks[offs[t] : offs[t + 1]]
-            assert np.all(np.diff(r) > 0)
+            o = origs[offs[t] : offs[t + 1]]
+            assert len(set(o.tolist())) == len(o)
+            assert np.all(np.diff(dep_np[o]) >= 0)
             assert np.all(tiles[offs[t] : offs[t + 1]] == t)
-        # every intersection's gaussian rect covers the tile
-        dep_s = np.asarray(dep[b.order])
-        srt = np.sort(np.asarray(dep[rad > 0]))
-        # ranks reference the depth-sorted arrays
-        valid_ranks = ranks[:n_isect]
-        np.testing.assert_allclose(
-            np.sort(np.unique(dep_s[valid_ranks])),
-            np.unique(dep_s[valid_ranks]),
-        )
 
     def test_coverage_matches_rects(self, rng):
         m2d, con, col, opa, rad, dep = _scene(rng, n=20)
         geom = image_geometry(H, W, 16)
         b = bin_gaussians(m2d, rad, dep, geom, 8, 8)
         offs = np.asarray(b.tile_offsets)
-        ranks = np.asarray(b.isect_rank)
-        m2d_s = np.asarray(m2d[b.order])
-        rad_s = np.asarray(rad[b.order])
-        # brute-force expected coverage
+        origs = np.asarray(b.isect_orig)
+        m2d_s = np.asarray(m2d)
+        rad_s = np.asarray(rad)
+        # brute-force expected coverage (in original index space)
         for t in range(geom.num_tiles):
             tx, ty = t % geom.tiles_x, t // geom.tiles_x
-            got = set(ranks[offs[t] : offs[t + 1]].tolist())
+            got = set(origs[offs[t] : offs[t + 1]].tolist())
             expected = set()
             for i in range(20):
                 if rad_s[i] <= 0:
@@ -306,21 +299,20 @@ class TestEllipseTileTest:
 
         def pairs(b):
             offs = np.asarray(b.tile_offsets)
-            ranks = np.asarray(b.isect_rank)
+            origs = np.asarray(b.isect_orig)
             out = set()
             for t in range(geom.num_tiles):
-                for r in ranks[offs[t]: offs[t + 1]].tolist():
+                for r in origs[offs[t]: offs[t + 1]].tolist():
                     out.add((t, r))
             return out
 
         kept = pairs(b_ell)
         dropped = pairs(b_rect) - kept
         assert dropped, "scene should exercise the pruning path"
-        # ranks index depth-sorted arrays; map back through the same order
-        order = np.asarray(b_ell.order)
-        m2d_s = np.asarray(m2d)[order]
-        con_s = np.asarray(con)[order]
-        opa_s = np.asarray(opa)[order]
+        # intersections carry original indices directly
+        m2d_s = np.asarray(m2d)
+        con_s = np.asarray(con)
+        opa_s = np.asarray(opa)
         ts = geom.tile_size
         for (t, r) in dropped:
             tx, ty = t % geom.tiles_x, t // geom.tiles_x
