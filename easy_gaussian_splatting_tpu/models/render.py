@@ -55,11 +55,21 @@ def render(
     intr = CameraIntrinsics.from_K(camera.K, camera.width, camera.height)
     proj = project_gaussians(params.means, params.quats, scales, camera.w2c, intr)
 
-    # SH color along the camera->Gaussian direction
+    # SH color along the camera->Gaussian direction. Columnwise [N] math
+    # with traced-scalar camera components: the natural
+    # ``means - cam_pos[None, :]`` broadcast makes XLA materialize [N, 3]
+    # (and downstream [N, K, 3]) intermediates in lane-padded layouts and
+    # costs +11.5 ms/step at N=131k on TPU; this form costs +1.5 ms
+    # (measured, scripts/profile_step5.py).
     r_cw = camera.w2c[:3, :3]
     t_cw = camera.w2c[:3, 3]
-    cam_pos = -r_cw.T @ t_cw
-    dirs = params.means - cam_pos[None, :]
+    cam = [
+        -(r_cw[0, j] * t_cw[0] + r_cw[1, j] * t_cw[1] + r_cw[2, j] * t_cw[2])
+        for j in range(3)
+    ]
+    dirs = jnp.stack(
+        [params.means[:, j] - cam[j] for j in range(3)], axis=1
+    )
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
     shs = jnp.concatenate([params.sh_0, params.sh_rest], axis=1)
     colors = eval_sh_color(sh_degree, shs, dirs)  # [C, 3]

@@ -115,9 +115,15 @@ def project_gaussians(
     R_cw = w2c[:3, :3]
     t_cw = w2c[:3, 3]
 
-    # world -> camera
-    p_cam = means @ R_cw.T + t_cw  # [N, 3]
-    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    # world -> camera, columnwise with traced-scalar matrix entries: the
+    # batched ``means @ R_cw.T + t_cw`` form triggers the same pathological
+    # lane-padded materialization as the covariance matmuls (see
+    # _camera_covar_upper) — columnwise [N] math keeps it one fused pass
+    mx, my_, mz = means[:, 0], means[:, 1], means[:, 2]
+    x = R_cw[0, 0] * mx + R_cw[0, 1] * my_ + R_cw[0, 2] * mz + t_cw[0]
+    y = R_cw[1, 0] * mx + R_cw[1, 1] * my_ + R_cw[1, 2] * mz + t_cw[1]
+    z = R_cw[2, 0] * mx + R_cw[2, 1] * my_ + R_cw[2, 2] * mz + t_cw[2]
+    p_cam = jnp.stack([x, y, z], axis=1)  # [N, 3]
     zsafe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
 
     # 3D covariance in camera frame, elementwise (see _camera_covar_upper)
