@@ -72,13 +72,21 @@ def main():
             height=h, width=w, sh_degree=3,
         )
 
+    # tunnel-honest timing (CLAUDE.md): block_until_ready can return
+    # before remote execution completes — fetch a value that depends on
+    # the final step's state to force the full chain
+    def force(model, ld):
+        return float(np.asarray(model.params.means[0, 0])) + float(
+            np.asarray(ld["total"])
+        )
+
     model, adam, ld = one(model, adam)  # compile
-    jax.block_until_ready(ld)
+    force(model, ld)
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         model, adam, ld = one(model, adam)
-    jax.block_until_ready(ld)
+    force(model, ld)
     dt = (time.perf_counter() - t0) / iters
     its = 1.0 / dt
     print(

@@ -108,23 +108,42 @@ def _cummax_lanes(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _tri(ch: int, *, lower: bool, strict: bool) -> jnp.ndarray:
-    """[CH, CH] triangular 0/1 matrix. Lane scans as matmuls: the MXU pads
-    the contraction dim to 128 anyway, so `x @ tri` costs the same as the
-    kernel's K=3 matmuls while a 7-step Hillis-Steele scan costs ~14 VPU
-    passes over [P, CH] (measured 4.3 ms of the 12.4 ms backward)."""
+    """[CH, CH] triangular 0/1 matrix (bf16: 0/1 are exact). Lane scans as
+    matmuls: the MXU pads the contraction dim to 128 anyway, so `x @ tri`
+    costs the same as the kernel's K=3 matmuls while a 7-step Hillis-Steele
+    scan costs ~14 VPU passes over [P, CH] (measured 4.3 ms of the 12.4 ms
+    backward)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
     if lower:
         m = (r > c) if strict else (r >= c)
     else:
         m = (r < c) if strict else (r <= c)
-    return m.astype(jnp.float32)
+    return m.astype(jnp.bfloat16)
 
 
 def _scan_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """Prefix/suffix sum along lanes via one MXU matmul."""
+    """Prefix/suffix sum along lanes via two bf16 MXU matmuls.
+
+    The scans are ~90% of the kernels' MAC work; f32 matmuls run at a
+    fraction of the MXU's bf16 rate, so split the data into bf16 hi+lo
+    halves (x = hi + lo exactly to ~2^-17 relative) and accumulate both
+    products in f32 — the tri matrix is exactly representable (0/1), so
+    the result carries ~16-bit-mantissa precision at ~2 bf16 passes
+    instead of the f32 matmul's slower multi-pass decomposition."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    # precision must be DEFAULT: Mosaic rejects bf16 operands with an
+    # fp32 contract_precision ("Bad lhs type"); accumulation is still f32
+    # via preferred_element_type
     return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
+        hi, tri, dims,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        lo, tri, dims,
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
 
@@ -202,7 +221,6 @@ def _fwd_kernel(
         )
 
     u_strict = _tri(CHUNK, lower=False, strict=True)
-    u_incl = _tri(CHUNK, lower=False, strict=False)
 
     @pl.when(num_chunks > 0)
     def _():
@@ -237,9 +255,14 @@ def _fwd_kernel(
         stop = elig & (t_g * om < T_EPS)
         stop_f = stop.astype(jnp.float32)
         done_in = done_ref[...]  # [P, 1]
-        # prefix-OR of the 0/1 stop flags = inclusive prefix count > 0
-        done_incl = (_scan_mm(stop_f, u_incl) > 0.0) | (done_in > 0.0)
-        comp = elig & jnp.logical_not(done_incl)
+        # "some earlier lane fired the stop" == "this lane's own
+        # t_after < eps": t_g is non-increasing along lanes (om <= 1,
+        # ineligible lanes have om = 1), so once an eligible lane drives
+        # t_after below T_EPS every later eligible lane fails its own
+        # t_after test too — the per-lane test subsumes the prefix-OR
+        # scan (same truth table on identical floats => bit-identical
+        # output, at half the forward's MXU work)
+        comp = elig & jnp.logical_not(stop) & (done_in <= 0.0)
         w = jnp.where(comp, alpha * t_g, 0.0)  # [P, CH]
 
         col = _rows3(buf[8:16, :], ROW_COLOR - 8)  # [3, CH] rows 8-10
