@@ -72,13 +72,22 @@ class Binning(NamedTuple):
     Intersections are indexed in ORIGINAL Gaussian index space: gathers
     and gradient scatters address the caller's arrays directly, with no
     intermediate depth-sorted copies (each avoided [C,k] permutation
-    gather costs ~10 ns/row on TPU regardless of row width)."""
+    gather costs ~10 ns/row on TPU regardless of row width).
+
+    The sort payload is the FLAT duplicate-grid id ``orig * M + j``
+    (sentinel ``C*M`` for dead lanes) so the backward can reduce
+    per-intersection gradients to per-Gaussian rows without a
+    duplicate-index scatter-add (15 ns/row on TPU): sorting by flat id
+    groups each Gaussian's ≤M rows contiguously, a segmented log-step
+    scan sums them, and ``counts`` locates each group's start."""
 
     order: jnp.ndarray  # [C] depth argsort (invalid gaussians at the end)
     isect_orig: jnp.ndarray  # [C*M] original gaussian index, tile-grouped
+    isect_flat: jnp.ndarray  # [C*M] flat duplicate id orig*M+j (C*M = dead)
     isect_tile: jnp.ndarray  # [C*M] tile id per intersection (T = invalid)
     tile_offsets: jnp.ndarray  # [T+1]
     num_isects: jnp.ndarray  # [] int32
+    counts: jnp.ndarray  # [C] live duplicates per gaussian
 
 
 def binning_extents(
@@ -222,44 +231,52 @@ def bin_gaussians(
         live = live & (s_min <= s_max)
 
     keys = jnp.where(live, tile, num_tiles).astype(jnp.int32)
-    origs = jnp.broadcast_to(
-        jnp.arange(c, dtype=jnp.int32)[:, None], (c, m)
-    )
+    # flat duplicate-grid id orig*M + j; dead lanes get the sentinel C*M
+    # so a flat-ascending sort groups each Gaussian's live duplicates
+    # contiguously with the dead tail last (see Binning docstring)
+    j_grid = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (c, m))
+    base_flat = jnp.arange(c, dtype=jnp.int32)[:, None] * m + j_grid
+    flats = jnp.where(live, base_flat, c * m)
+    counts = jnp.sum(live, axis=1, dtype=jnp.int32)  # [C]
 
     rank_bits = max(1, (c - 1).bit_length())
     tile_bits = num_tiles.bit_length()  # ids 0..num_tiles (incl. sentinel)
     if rank_bits + tile_bits <= 31:
         # pack (tile, depth-rank) into one int32 key — the comparator
         # orders by tile then by depth within the tile, exactly like a
-        # stable sort of depth-sorted duplicates — and carry the ORIGINAL
-        # index as the sort payload so downstream gathers/scatters need
-        # no sorted->original translation
+        # stable sort of depth-sorted duplicates — and carry the FLAT
+        # duplicate id as the sort payload (original index = flat // M)
+        # so downstream gathers/scatters need no sorted->original
+        # translation
         packed = (keys << rank_bits) | rank[:, None]
-        sorted_packed, sorted_orig = jax.lax.sort(
-            (packed.reshape(-1), origs.reshape(-1)),
+        sorted_packed, sorted_flat = jax.lax.sort(
+            (packed.reshape(-1), flats.reshape(-1)),
             num_keys=1,
             is_stable=False,
         )
         sorted_keys = (sorted_packed >> rank_bits).astype(jnp.int32)
     else:
-        sorted_keys, _, sorted_orig = jax.lax.sort(
+        sorted_keys, _, sorted_flat = jax.lax.sort(
             (
                 keys.reshape(-1),
                 jnp.broadcast_to(rank[:, None], (c, m)).reshape(-1),
-                origs.reshape(-1),
+                flats.reshape(-1),
             ),
             num_keys=2,
             is_stable=False,
         )
+    sorted_orig = jnp.minimum(sorted_flat // m, c - 1)
     tile_offsets = jnp.searchsorted(
         sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     return Binning(
         order=order,
         isect_orig=sorted_orig,
+        isect_flat=sorted_flat,
         isect_tile=sorted_keys,
         tile_offsets=tile_offsets,
         num_isects=tile_offsets[num_tiles],
+        counts=counts,
     )
 
 
@@ -388,9 +405,11 @@ def _prepare(
     sliced = Binning(
         order=binning.order,
         isect_orig=binning.isect_orig[:isect_cap],
+        isect_flat=binning.isect_flat[:isect_cap],
         isect_tile=binning.isect_tile[:isect_cap],
         tile_offsets=jnp.minimum(binning.tile_offsets, isect_cap),
         num_isects=binning.num_isects,
+        counts=binning.counts,
     )
     g9 = jnp.concatenate(
         [means2d, conics, colors, opacities[:, None]], axis=1
@@ -470,16 +489,52 @@ def _core_bwd(
     )  # [16, I_pad]; lanes outside every tile's range are zero
 
     c = radii.shape[0]
-    # reduce per-intersection rows to per-Gaussian rows in ONE scatter-add
-    # straight to original indices (isect_orig is the sort payload, so no
-    # sorted->original translation pass exists at all). Out-of-range lanes
-    # carry zero gradient rows, so including them is harmless. Only the
-    # first 12 feature columns carry gradient payload (cols 12+ are
-    # basis/padding); 12 vs 16 scatter width measured identical on chip,
-    # so move the narrower rows.
-    dsum = jnp.zeros((c, 12), jnp.float32).at[binning.isect_orig].add(
-        jnp.swapaxes(dfeats, 0, 1)[: binning.isect_orig.shape[0], :12]
+    icap = binning.isect_flat.shape[0]
+    m = max_tiles_w * max_tiles_h
+    # Reduce per-intersection rows to per-Gaussian rows WITHOUT a
+    # duplicate-index scatter-add (measured 15 ns/row on chip — the single
+    # most expensive op of the old backward). Instead:
+    #   1. sort (flat_id, iota): groups each Gaussian's <=M rows
+    #      contiguously in flat order, dead lanes (flat = C*M) last;
+    #   2. one I-row gather into that order (4 ns/row);
+    #   3. segmented log-step suffix scan in feature-major space sums
+    #      each group onto its first row (<=M rows per group => ceil(log2
+    #      M) shift passes over a [12, I] array);
+    #   4. gather the C group-start rows (positions = exclusive cumsum of
+    #      the binning's live counts).
+    # Exact whenever num_isects <= isect_cap; on a truncated step the
+    # group starts would misalign, so the gradient is zeroed (the
+    # capacity watchdog recompiles with a larger cap — one lost step,
+    # never a corrupted one; the old scatter path silently dropped the
+    # truncated tail's gradients instead).
+    flat_asc, p = jax.lax.sort(
+        (binning.isect_flat, jnp.arange(icap, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=False,
     )
+    rows = jnp.swapaxes(dfeats, 0, 1)[:icap, :12][p]  # [I, 12] orig-grouped
+    rt = jnp.swapaxes(rows, 0, 1)  # [12, I] feature-major
+    g = flat_asc // m  # [I] group id (dead lanes -> c)
+    k = 1
+    while k < m:
+        g_ahead = jnp.concatenate(
+            [g[k:], jnp.full((k,), -1, jnp.int32)]
+        )
+        same = (g_ahead == g)[None, :]
+        rt_ahead = jnp.concatenate(
+            [rt[:, k:], jnp.zeros((rt.shape[0], k), rt.dtype)], axis=1
+        )
+        rt = rt + jnp.where(same, rt_ahead, 0.0)
+        k *= 2
+    sums = jnp.swapaxes(rt, 0, 1)  # [I, 12]; group sums at group starts
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(binning.counts)[:-1]]
+    )
+    truncated = binning.num_isects > icap
+    have = (binning.counts > 0) & jnp.logical_not(truncated)
+    dsum = jnp.where(
+        have[:, None], sums[jnp.minimum(starts, icap - 1)], 0.0
+    )  # [C, 12]
 
     v_m2d = dsum[:, 0:2]
     v_conic = dsum[:, 2:5]

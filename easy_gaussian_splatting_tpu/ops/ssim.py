@@ -38,9 +38,12 @@ def _blur_matrix(size: int, kernel_size: int, sigma: float) -> np.ndarray:
 
 
 def _blur(x: jnp.ndarray, bh: jnp.ndarray, bw: jnp.ndarray) -> jnp.ndarray:
-    """x: [C, H, W] -> [C, H', W'] valid separable Gaussian blur via MXU."""
-    y = jnp.einsum("ih,chw->ciw", bh, x, precision="highest")
-    return jnp.einsum("jw,ciw->cij", bw, y, precision="highest")
+    """x: [C, H, W] -> [C, H', W'] valid separable Gaussian blur via MXU.
+
+    precision "high" (bf16_3x) halves the MXU passes vs "highest"
+    (bf16_6x) at ~1e-7 relative error — far below SSIM's sensitivity."""
+    y = jnp.einsum("ih,chw->ciw", bh, x, precision="high")
+    return jnp.einsum("jw,ciw->cij", bw, y, precision="high")
 
 
 def ssim(

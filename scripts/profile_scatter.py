@@ -32,7 +32,10 @@ def timeit(name, stage, x0):
         def run(seed, x):
             def body(i, x):
                 out = stage(x)
-                bump = out * 0.0 + seed.astype(jnp.float32) * 1e-30
+                bump = (
+                    out.reshape(-1)[0] * 0.0
+                    + seed.astype(jnp.float32) * 1e-30
+                )
                 return x + bump
             x = jax.lax.fori_loop(0, iters, body, x)
             return x.reshape(-1)[:8]
@@ -96,12 +99,46 @@ def main():
         g = big.at[orig % c].get()  # I-row gather? use take
         return g
 
+    sorted_orig = jnp.sort(orig)
+
+    def s_scatter_add_sorted(rows):
+        # timing probe: same row count, indices pre-sorted + hint
+        out = jnp.zeros((c, 12), jnp.float32).at[sorted_orig].add(
+            rows, indices_are_sorted=True
+        )
+        return out
+
+    def s_segment_sum_sorted(rows):
+        return jax.ops.segment_sum(
+            rows, sorted_orig, num_segments=c, indices_are_sorted=True
+        )
+
+    perm_c = jnp.asarray(rng.permutation(c).astype(np.int32))
+
+    def s_scatter_set_unique_small(rows):
+        # per-row cost of scatter-SET with unique indices, small output
+        out = jnp.zeros((c, 12), jnp.float32).at[perm_c].set(
+            rows[:c], unique_indices=True
+        )
+        return out
+
+    def s_cumsum_rows(rows):
+        # cost of a [I, 12] prefix sum (segment-reduction building block)
+        return jnp.cumsum(rows, axis=0)
+
     timeit("A scatter-ADD dup [I,12] -> [C,12]", s_scatter_add, rows0)
     timeit("B scatter-SET unique [I,12] -> [C*M,12] + reduce",
            s_scatter_set_unique, rows0)
     timeit("C gather I rows from [C,12] (control)",
            lambda r: r[:c][orig % c].sum(axis=0) + r.sum(0) * 0 + r[:c][orig % c][0],
            rows0)
+    timeit("D scatter-ADD sorted idx [I,12] -> [C,12]",
+           s_scatter_add_sorted, rows0)
+    timeit("E segment_sum sorted [I,12] -> [C,12]",
+           s_segment_sum_sorted, rows0)
+    timeit("F scatter-SET unique [C,12] -> [C,12]",
+           s_scatter_set_unique_small, rows0)
+    timeit("G cumsum [I,12] (building block)", s_cumsum_rows, rows0)
 
 
 if __name__ == "__main__":
