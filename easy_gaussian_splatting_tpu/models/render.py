@@ -55,12 +55,12 @@ def render(
     intr = CameraIntrinsics.from_K(camera.K, camera.width, camera.height)
     proj = project_gaussians(params.means, params.quats, scales, camera.w2c, intr)
 
-    # SH color along the camera->Gaussian direction. Columnwise [N] math
-    # with traced-scalar camera components: the natural
-    # ``means - cam_pos[None, :]`` broadcast makes XLA materialize [N, 3]
-    # (and downstream [N, K, 3]) intermediates in lane-padded layouts and
-    # costs +11.5 ms/step at N=131k on TPU; this form costs +1.5 ms
-    # (measured, scripts/profile_step5.py).
+    # SH color along the camera->Gaussian direction, columnwise [N] math
+    # with traced-scalar camera components. (An earlier fori-loop
+    # microbenchmark attributed ~8-11 ms to the dirs form; top-level A/B
+    # of the full train step shows all forms within noise — the looped
+    # harness let XLA hoist work in some variants. Kept columnwise to
+    # match the projection code's idiom.)
     r_cw = camera.w2c[:3, :3]
     t_cw = camera.w2c[:3, 3]
     cam = [

@@ -1,9 +1,8 @@
-"""Bisect WHY camera-relative SH dirs cost +11 ms fwd+bwd vs origin dirs.
+"""Attribute the ~8 ms gap between the hand-built fwd+bwd+loss+adam chain
+(19.3 ms) and the real train step (27.7 ms). Incremental toggles from the
+profiler's cheat-path to the exact train_step computation.
 
-Variants: matmul cam_pos (current), scalar-expanded cam_pos, stop_gradient
-cam_pos, constant cam_pos (numpy), camera dirs without normalization.
-
-Usage: python scripts/profile_step5.py [N] [H] [W]
+Usage: python scripts/profile_step7.py [N] [H] [W]
 """
 
 import sys
@@ -17,6 +16,11 @@ sys.path.insert(0, ".")
 
 from easy_gaussian_splatting_tpu.models.gaussians import init_gaussian_state
 from easy_gaussian_splatting_tpu.models.loss import loss_dict
+from easy_gaussian_splatting_tpu.models.density import update_statistics
+from easy_gaussian_splatting_tpu.models.optimizer import (
+    adam_update,
+    init_adam_state,
+)
 from easy_gaussian_splatting_tpu.ops.projection import (
     CameraIntrinsics,
     project_gaussians,
@@ -24,8 +28,13 @@ from easy_gaussian_splatting_tpu.ops.projection import (
 from easy_gaussian_splatting_tpu.ops.rasterize_tiled import rasterize_tiled
 from easy_gaussian_splatting_tpu.ops.sh import eval_sh_color
 from easy_gaussian_splatting_tpu.training.config import config_from_dict
+from easy_gaussian_splatting_tpu.training.trainer import LR_GROUPS
 
 ITERS = (10, 40)
+
+
+def tsum(t):
+    return sum(jnp.sum(x) for x in jax.tree.leaves(t))
 
 
 def timeit(name, stage, params0):
@@ -34,7 +43,7 @@ def timeit(name, stage, params0):
         def run(seed, params):
             def body(i, p):
                 out = stage(p)
-                bump = (out * 0.0 + seed.astype(jnp.float32) * 1e-30)
+                bump = out * 0.0 + seed.astype(jnp.float32) * 1e-30
                 return p.replace(means=p.means + bump)
             p = jax.lax.fori_loop(0, iters, body, params)
             return p.means.reshape(-1)[:8]
@@ -48,7 +57,7 @@ def timeit(name, stage, params0):
         np.asarray(run(jnp.int32(1), params0))
         walls[iters] = time.perf_counter() - t0
     dt = (walls[ITERS[1]] - walls[ITERS[0]]) / (ITERS[1] - ITERS[0]) * 1e3
-    print(f"{name:46s} {dt:8.2f} ms")
+    print(f"{name:56s} {dt:8.2f} ms")
     return dt
 
 
@@ -60,6 +69,7 @@ def main():
     xyzs = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
     rgbs = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
     model = init_gaussian_state(xyzs, rgbs, sh_degree=3)
+    adam = init_adam_state(model.params)
     cfg = config_from_dict(dict(renderer="tiled", white_background=True))
     K = jnp.array(
         [[1111.0, 0, w / 2], [0, 1111.0, h / 2], [0, 0, 1.0]], jnp.float32
@@ -73,34 +83,20 @@ def main():
     n_isect = int(counter(model.params, model.alive, w2c, K, height=h, width=w))
     cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
     print(f"N={n} capacity={model.capacity} isect_mult={cfg.isect_mult}")
-
     alive = model.alive
     bg = jnp.ones((3,), jnp.float32)
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mask = jnp.zeros((h, w), jnp.float32)
-    capacity = model.capacity
-    cam_pos_np = jnp.asarray(
-        -(np.eye(3).T @ np.array([0.0, 0.0, 4.0])), jnp.float32
-    )
+    cap = model.capacity
 
-    def tsum(tree):
-        return sum(jnp.sum(x) for x in jax.tree.leaves(tree))
-
-    def render_inline(params, absd, mode):
+    def fwd(params, absd, *, real_dirs, clip):
         scales = jnp.exp(params.log_scales)
-        opacities = jax.nn.sigmoid(params.logit_opacities) * alive.astype(
-            jnp.float32
-        )
+        opac = jax.nn.sigmoid(params.logit_opacities) * alive
         intr = CameraIntrinsics.from_K(K, w, h)
-        proj = project_gaussians(
-            params.means, params.quats, scales, w2c, intr
-        )
-        r_cw = w2c[:3, :3]
-        t_cw = w2c[:3, 3]
-        if mode == "matmul":
-            cam_pos = -r_cw.T @ t_cw
-            dirs = params.means - cam_pos[None, :]
-        elif mode == "scalar":
+        proj = project_gaussians(params.means, params.quats, scales, w2c, intr)
+        if real_dirs:
+            r_cw = w2c[:3, :3]
+            t_cw = w2c[:3, 3]
             cam = [
                 -(r_cw[0, j] * t_cw[0] + r_cw[1, j] * t_cw[1]
                   + r_cw[2, j] * t_cw[2])
@@ -109,57 +105,67 @@ def main():
             dirs = jnp.stack(
                 [params.means[:, j] - cam[j] for j in range(3)], axis=1
             )
-        elif mode == "stopgrad":
-            cam_pos = jax.lax.stop_gradient(-r_cw.T @ t_cw)
-            dirs = params.means - cam_pos[None, :]
-        elif mode == "const":
-            dirs = params.means - cam_pos_np[None, :]
-        elif mode == "origin":
+        else:
             dirs = params.means
-        elif mode == "sgall":
-            # diagnostic: no gradient through the SH view direction
-            dirs = jax.lax.stop_gradient(params.means - cam_pos_np[None, :])
-        elif mode == "colnorm":
-            # no [C,3] dirs materialization: per-column subtract+normalize
-            x = params.means[:, 0] - cam_pos_np[0]
-            y = params.means[:, 1] - cam_pos_np[1]
-            z = params.means[:, 2] - cam_pos_np[2]
-            inv = 1.0 / jnp.maximum(
-                jnp.sqrt(x * x + y * y + z * z), 1e-8
-            )
-            dirs = jnp.stack([x * inv, y * inv, z * inv], axis=1)
-        if mode not in ("colnorm",):
-            dirs = dirs / jnp.maximum(
-                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8
-            )
-        shs = jnp.concatenate([params.sh_0, params.sh_rest], axis=1)
-        colors = eval_sh_color(3, shs, dirs)
-        opac_eff = opacities * (proj.radii > 0.0).astype(jnp.float32)
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8
+        )
+        colors = eval_sh_color(
+            3, jnp.concatenate([params.sh_0, params.sh_rest], 1), dirs
+        )
+        opac_eff = opac * (proj.radii > 0.0)
         img, alpha = rasterize_tiled(
             proj.means2d, proj.conics, colors, opac_eff, proj.depths, bg,
             absd, h, w, radii=proj.radii, tile_size=cfg.tile_size,
             max_tiles_w=cfg.max_tiles, max_tiles_h=cfg.max_tiles,
             isect_mult=cfg.isect_mult,
         )
+        if clip:
+            img = jnp.clip(img, 0.0, 1.0)
         return img, proj.radii
 
-    def make_stage(mode):
-        def loss_fn(params, absd):
-            img, radii = render_inline(params, absd, mode)
-            ld = loss_dict(img, image, mask, cfg.lambda_ssim)
-            return ld["total"], (ld, radii)
-
+    def make_stage(real_dirs, clip, selects, retsum):
         def stage(params):
-            absd = jnp.zeros((capacity, 2), jnp.float32)
-            (_, (ld, radii)), (g, absg) = jax.value_and_grad(
+            absd = jnp.zeros((cap, 2), jnp.float32)
+
+            def loss_fn(p, a):
+                img, radii = fwd(p, a, real_dirs=real_dirs, clip=clip)
+                ld = loss_dict(img, image, mask, cfg.lambda_ssim)
+                return ld["total"], radii
+
+            (_, radii), (g, absg) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(params, absd)
-            return tsum(g) + absg.sum()
-
+            st = update_statistics(model.stats, radii, absg, h, w)
+            if selects:
+                do_stats = jnp.bool_(True)
+                st = jax.tree.map(
+                    lambda a, b: jnp.where(do_stats, b, a), model.stats, st
+                )
+                skips = {
+                    name: jnp.bool_(False)
+                    for name in ("means",) + LR_GROUPS
+                }
+            else:
+                skips = None
+            lrs = {
+                name: jnp.float32(1e-3) for name in ("means",) + LR_GROUPS
+            }
+            p2, a2 = adam_update(params, g, adam, lrs, skips)
+            if retsum:
+                return tsum(p2) + tsum(a2) + tsum(st)
+            return tsum(g) + tsum(st) * 0 + p2.means.sum() + a2.mu.means.sum()
         return stage
 
-    for mode in ("origin", "const", "sgall", "colnorm"):
-        timeit(f"dirs mode: {mode}", make_stage(mode), model.params)
+    timeit("0 baseline (cheat dirs, no clip/selects)",
+           make_stage(False, False, False, False), model.params)
+    timeit("1 + real cam dirs", make_stage(True, False, False, False),
+           model.params)
+    timeit("2 + img clip", make_stage(True, True, False, False), model.params)
+    timeit("3 + where-selects (stats, adam skips)",
+           make_stage(True, True, True, False), model.params)
+    timeit("4 + full return-tree sums", make_stage(True, True, True, True),
+           model.params)
 
 
 if __name__ == "__main__":
