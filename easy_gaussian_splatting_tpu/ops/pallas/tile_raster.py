@@ -36,7 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..rasterize_ref import ALPHA_CLAMP, ALPHA_THRESH, T_EPS
 
+# Padding/alignment quantum for the feature matrix (max of the per-kernel
+# chunk sizes). 128 measured best for BOTH kernels: 256 in the forward
+# costs +2.7 ms (coarser early-exit + more out-of-range lanes per tile at
+# ~600 isects/tile), and 256 in the backward exceeds the 16 MB
+# scoped-VMEM limit.
 CHUNK = 128
+FWD_CHUNK = 128
+BWD_CHUNK = 128
 NUM_FEATURES = 16
 # The tile-local polynomial expansion of sigma carries ~1e-4 cancellation
 # error; a hard `sigma >= 0` test would drop pixels right at a Gaussian's
@@ -202,25 +209,25 @@ def _fwd_kernel(
     t = pl.program_id(0)
     start = offsets_ref[t]
     end = offsets_ref[t + 1]
-    astart = (start // CHUNK) * CHUNK
+    astart = (start // FWD_CHUNK) * FWD_CHUNK
 
     rgb_ref[...] = jnp.zeros_like(rgb_ref)
     t_ref[...] = jnp.ones_like(t_ref)
     last_ref[...] = jnp.full_like(last_ref, -1)
     done_ref[...] = jnp.zeros_like(done_ref)
 
-    num_chunks = pl.cdiv(end - astart, CHUNK)
+    num_chunks = pl.cdiv(end - astart, FWD_CHUNK)
 
     def dma(k):
         slot = jax.lax.rem(k, 2)
-        base = astart + k * CHUNK
+        base = astart + k * FWD_CHUNK
         return pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            feats_ref.at[:, pl.ds(pl.multiple_of(base, FWD_CHUNK), FWD_CHUNK)],
             buf_ref.at[slot],
             sem.at[slot],
         )
 
-    u_strict = _tri(CHUNK, lower=False, strict=True)
+    u_strict = _tri(FWD_CHUNK, lower=False, strict=True)
 
     @pl.when(num_chunks > 0)
     def _():
@@ -232,7 +239,7 @@ def _fwd_kernel(
 
     def body(state):
         k, _ = state
-        base = astart + k * CHUNK
+        base = astart + k * FWD_CHUNK
 
         @pl.when(k + 1 < num_chunks)
         def _():
@@ -329,7 +336,7 @@ def tiled_forward(
             pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FEATURES, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_FEATURES, FWD_CHUNK), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -368,7 +375,7 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = offsets_ref[t]
     end = offsets_ref[t + 1]
-    astart = (start // CHUNK) * CHUNK
+    astart = (start // BWD_CHUNK) * BWD_CHUNK
 
     tstate_ref[...] = tfin_ref[0]
     # suffix term: g_T * T_fin (the background blend happens in XLA and its
@@ -384,24 +391,24 @@ def _bwd_kernel(
     n_eff = jnp.maximum(
         jnp.minimum(max_last + 1, end) - astart, 0
     )
-    num_chunks = pl.cdiv(n_eff, CHUNK)
-    l_incl = _tri(CHUNK, lower=True, strict=False)
-    l_strict = _tri(CHUNK, lower=True, strict=True)
+    num_chunks = pl.cdiv(n_eff, BWD_CHUNK)
+    l_incl = _tri(BWD_CHUNK, lower=True, strict=False)
+    l_strict = _tri(BWD_CHUNK, lower=True, strict=True)
 
     def feats_dma(k):
         slot = jax.lax.rem(k, 2)
-        base = astart + k * CHUNK
+        base = astart + k * BWD_CHUNK
         return pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            feats_ref.at[:, pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK)],
             buf_ref.at[slot],
             sem_in.at[slot],
         )
 
     def out_dma(k, slot):
-        base = astart + k * CHUNK
+        base = astart + k * BWD_CHUNK
         return pltpu.make_async_copy(
             dbuf_ref.at[slot],
-            dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+            dfeats_ref.at[:, pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK)],
             sem_out.at[slot],
         )
 
@@ -411,16 +418,18 @@ def _bwd_kernel(
 
     def body(kk, _):
         k = num_chunks - 1 - kk
-        base = astart + k * CHUNK
+        base = astart + k * BWD_CHUNK
         slot = jax.lax.rem(k, 2)
         # only the tile's boundary windows share lanes with neighboring
         # tiles and need a read-merge; interior windows are written whole
-        boundary = (base < start) | (base + CHUNK > end)
+        boundary = (base < start) | (base + BWD_CHUNK > end)
 
         @pl.when(boundary)
         def _():
             pltpu.make_async_copy(
-                dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+                dfeats_ref.at[
+                    :, pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK)
+                ],
                 rbuf_ref,
                 sem_rd,
             ).start()
@@ -511,7 +520,9 @@ def _bwd_kernel(
         @pl.when(boundary)
         def _():
             pltpu.make_async_copy(
-                dfeats_ref.at[:, pl.ds(pl.multiple_of(base, CHUNK), CHUNK)],
+                dfeats_ref.at[
+                    :, pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK)
+                ],
                 rbuf_ref,
                 sem_rd,
             ).wait()
@@ -577,9 +588,9 @@ def tiled_backward(
         scratch_shapes=[
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
-            pltpu.VMEM((2, NUM_FEATURES, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NUM_GRAD_FEATURES, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_GRAD_FEATURES, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_FEATURES, BWD_CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_GRAD_FEATURES, BWD_CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_GRAD_FEATURES, BWD_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
