@@ -327,3 +327,41 @@ class TestEllipseTileTest:
                 f"pruned (tile {t}, rank {r}) had an eligible pixel "
                 f"(max alpha {alpha.max():.4f})"
             )
+
+
+class TestTruncationSafety:
+    def test_truncated_cap_zeroes_gradient(self, rng):
+        """When num_isects exceeds the intersection capacity, the backward's
+        group starts would misalign, so the gradient must be EXACTLY zero
+        (a skipped step) — never a misattributed one."""
+        scene = _scene(rng, max_opac=0.3, big=True)
+        m2d, con, col, opa, rad, dep = scene
+        n = m2d.shape[0]
+        bg = jnp.zeros(3)
+
+        def loss(mult):
+            def f(m, d):
+                img, _ = rasterize_tiled(
+                    m, con, col, opa, dep, bg, d, H, W, radii=rad,
+                    tile_size=16, interpret=True, isect_mult=mult,
+                )
+                return jnp.sum(img**2)
+            return f
+
+        # verify the scene actually overflows a tiny cap
+        from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+            binning_extents,
+        )
+
+        geom = image_geometry(H, W, 16)
+        ext = binning_extents(con, opa, rad)
+        b = bin_gaussians(m2d, ext, dep, geom, conics=con, opacities=opa)
+        assert int(b.num_isects) > n  # isect_mult=1 truncates
+
+        dummy = jnp.zeros((n, 2))
+        g_small, abs_small = jax.grad(loss(1), argnums=(0, 1))(m2d, dummy)
+        assert np.all(np.asarray(g_small) == 0.0)
+        assert np.all(np.asarray(abs_small) == 0.0)
+        # ample capacity: gradient is nonzero
+        g_big, _ = jax.grad(loss(8), argnums=(0, 1))(m2d, dummy)
+        assert np.any(np.asarray(g_big) != 0.0)
