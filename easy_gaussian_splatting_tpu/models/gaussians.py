@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Dict
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -172,6 +173,49 @@ def grow_capacity(state: GaussianModelState, new_capacity: int) -> GaussianModel
             collecting_counts=pad(state.stats.collecting_counts),
             max_radii=pad(state.stats.max_radii),
         ),
+    )
+
+
+def compact_capacity(
+    state: GaussianModelState, new_capacity: int
+) -> tuple[GaussianModelState, jnp.ndarray]:
+    """Permute alive rows to the buffer front and shrink to
+    ``new_capacity`` (host-side; one recompile of the jitted steps).
+
+    The inverse of :func:`grow_capacity`, for post-pruning phases: every
+    per-capacity cost — binning's [C, M] key grid, the (tile, rank) sort
+    domain C*M, the depth argsorts, projection/SH — scales with capacity,
+    not with the alive count, so a heavily pruned population wastes
+    proportional work until compacted. Row order among alive Gaussians is
+    preserved (no semantics depend on slot order; this just keeps
+    checkpoints and logs stable).
+
+    Returns (new_state, perm) where ``perm`` is the row permutation to
+    apply to any aligned per-Gaussian buffers (e.g. Adam moments)."""
+    alive = state.alive
+    n_alive = int(jnp.sum(alive.astype(jnp.int32)))
+    if new_capacity < n_alive:
+        raise ValueError(
+            f"new capacity {new_capacity} < alive count {n_alive}"
+        )
+    if new_capacity > state.capacity:
+        raise ValueError(
+            f"new capacity {new_capacity} > current {state.capacity}; "
+            "use grow_capacity"
+        )
+    # stable sort by deadness: alive rows first, original order kept
+    perm = jnp.argsort(jnp.logical_not(alive), stable=True)[:new_capacity]
+
+    def take(x):
+        return x[perm]
+
+    return (
+        GaussianModelState(
+            params=jax.tree.map(take, state.params),
+            alive=take(alive),
+            stats=jax.tree.map(take, state.stats),
+        ),
+        perm,
     )
 
 

@@ -117,6 +117,17 @@ def mask_moments(
     return AdamState(mu=apply(state.mu), nu=apply(state.nu), steps=state.steps)
 
 
+def permute_adam_state(state: AdamState, perm) -> AdamState:
+    """Apply a row permutation/selection to the moment buffers (capacity
+    compaction keeps moments aligned with their Gaussians)."""
+    take = lambda x: x[perm]
+    return AdamState(
+        mu=jax.tree.map(take, state.mu),
+        nu=jax.tree.map(take, state.nu),
+        steps=state.steps,
+    )
+
+
 def grow_adam_state(state: AdamState, extra: int) -> AdamState:
     """Pad moment buffers for capacity growth (new rows zero)."""
 

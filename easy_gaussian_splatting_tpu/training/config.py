@@ -96,6 +96,9 @@ class Config:
     max_tiles: int = 4  # duplication budget: max_tiles^2 tiles/gaussian
     # (flexible w*h <= max_tiles^2 window; either dim may span the budget)
     max_capacity: int = 4_194_304  # hard cap on Gaussian capacity
+    # compact + shrink capacity after heavy pruning (keeps per-capacity
+    # costs — binning grid, sort domain — proportional to the population)
+    shrink_capacity: bool = True
     initial_capacity: int = 0  # 0 = auto from point count
     save_optimizer_state: bool = False  # include Adam state in checkpoints
     mesh_shape: str = ""  # e.g. "tiles:8" or "" for single-device

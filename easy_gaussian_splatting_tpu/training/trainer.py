@@ -34,6 +34,8 @@ from ..models.density import (
 )
 from ..models.gaussians import (
     GaussianModelState,
+    _round_up_capacity,
+    compact_capacity,
     grow_capacity,
     init_gaussian_state,
 )
@@ -43,6 +45,7 @@ from ..models.optimizer import (
     adam_update,
     grow_adam_state,
     init_adam_state,
+    permute_adam_state,
 )
 from ..models.render import CameraView, render
 from ..ops.lr_schedule import log_lerp_schedule
@@ -207,7 +210,26 @@ def run_densify_with_growth(
                 loop.model = grow_capacity(new_model, new_cap)
                 loop.adam = grow_adam_state(new_adam, new_cap - cap)
             else:
-                loop.model, loop.adam = new_model, new_adam
+                # heavy pruning leaves dead slots that every per-capacity
+                # cost (binning grid, sort domain, argsorts) still pays
+                # for — compact alive rows to the front and shrink to the
+                # pow2 that keeps >= ~30% headroom. The pow2 ladder plus
+                # the 0.85 growth threshold gives hysteresis, and repeat
+                # shapes hit the compilation cache.
+                want = (
+                    _round_up_capacity(int(n * 1.3))
+                    if cfg.shrink_capacity
+                    else cap
+                )
+                if want < cap:
+                    logger.info(
+                        f"compacting capacity {cap} -> {want} "
+                        f"({n} gaussians alive)"
+                    )
+                    loop.model, perm = compact_capacity(new_model, want)
+                    loop.adam = permute_adam_state(new_adam, perm)
+                else:
+                    loop.model, loop.adam = new_model, new_adam
             return {k: int(v) for k, v in info.items()}
         cap = loop.model.capacity
         if cap >= cfg.max_capacity:

@@ -447,3 +447,76 @@ class TestDensity:
         np.testing.assert_allclose(np.asarray(opac[:8]), 0.01, rtol=1e-4)
         assert np.all(np.asarray(new_adam.mu.logit_opacities) == 0.0)
         assert np.any(np.asarray(new_adam.mu.means) != 0.0)
+
+
+class TestCompaction:
+    def test_compact_preserves_render_and_adam_alignment(self):
+        from easy_gaussian_splatting_tpu.models.gaussians import (
+            compact_capacity,
+        )
+        from easy_gaussian_splatting_tpu.models.optimizer import (
+            permute_adam_state,
+        )
+
+        st = _manual_state(n=8, cap=64)
+        # scatter the alive rows (non-contiguous) like post-prune state
+        rngl = np.random.default_rng(3)
+        alive = np.zeros(64, bool)
+        alive[rngl.choice(64, size=10, replace=False)] = True
+        st = st.replace(alive=jnp.asarray(alive))
+        adam = init_adam_state(st.params)
+        adam = adam.replace(
+            mu=jax.tree.map(lambda x: x + 1.5, st.params),
+            nu=jax.tree.map(lambda x: x * x + 0.25, st.params),
+        )
+
+        cam = CameraView(
+            w2c=jnp.eye(4, dtype=jnp.float32).at[2, 3].set(6.0),
+            K=jnp.array(
+                [[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1.0]], jnp.float32
+            ),
+            width=32,
+            height=24,
+        )
+        bg = jnp.zeros(3)
+
+        def img_of(state):
+            return render(
+                state.params, state.alive, cam, 1, bg,
+                jnp.zeros((state.capacity, 2), jnp.float32),
+            ).image
+
+        before = np.asarray(img_of(st))
+        new_st, perm = compact_capacity(st, 16)
+        new_adam = permute_adam_state(adam, perm)
+
+        assert new_st.capacity == 16
+        assert int(new_st.num_alive()) == 10
+        # alive rows packed to the front, original order preserved
+        assert np.all(np.asarray(new_st.alive[:10]))
+        orig_alive_idx = np.nonzero(alive)[0]
+        np.testing.assert_array_equal(
+            np.asarray(new_st.params.means[:10]),
+            np.asarray(st.params.means)[orig_alive_idx],
+        )
+        # render unchanged
+        after = np.asarray(img_of(new_st))
+        np.testing.assert_allclose(after, before, atol=1e-6)
+        # adam moments follow their rows
+        np.testing.assert_array_equal(
+            np.asarray(new_adam.mu.means[:10]),
+            np.asarray(adam.mu.means)[orig_alive_idx],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(new_adam.nu.sh_rest[:10]),
+            np.asarray(adam.nu.sh_rest)[orig_alive_idx],
+        )
+
+    def test_compact_rejects_too_small(self):
+        from easy_gaussian_splatting_tpu.models.gaussians import (
+            compact_capacity,
+        )
+
+        st = _manual_state(n=8, cap=32)
+        with pytest.raises(ValueError):
+            compact_capacity(st, 4)
