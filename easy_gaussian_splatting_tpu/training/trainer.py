@@ -442,9 +442,40 @@ def train(
     last_loss = float("nan")
     profiler_active = False
     autotuned = False
+    # async loss readback: a blocking float() per sampled step costs ~3
+    # device round trips on a remote-device link; instead start an async
+    # device->host copy and convert a few samples later, reporting to TB
+    # with the ORIGINAL step. Drained fully at loop end.
+    pending_losses: list = []
+
+    def _drain_losses(min_pending: int) -> None:
+        nonlocal last_loss
+        while len(pending_losses) > min_pending:
+            old_step, old_ld = pending_losses.pop(0)
+            losses = {k: float(v) for k, v in old_ld.items()}
+            last_loss = losses["total"]
+            if tb_writer is not None:
+                tb_report(tb_writer, old_step, {"train/loss": losses})
+    # wall-time buckets for the host loop (EGS_TPU_LOOP_TIMING=1 logs the
+    # breakdown every 100 steps — separates device work from host stalls)
+    import collections as _collections
+    import os as _os
+
+    loop_timing = _os.environ.get("EGS_TPU_LOOP_TIMING") == "1"
+    buckets: Dict[str, float] = _collections.defaultdict(float)
+    t_prev = time.perf_counter()
+
+    def _bucket(name: str) -> None:
+        nonlocal t_prev
+        if loop_timing:
+            now = time.perf_counter()
+            buckets[name] += now - t_prev
+            t_prev = now
+
     for data in prefetch_frames(
         scene, "train", shuffle=True, num_workers=cfg.dataloader_workers
     ):
+        _bucket("data")
         loop.step += 1
         step = loop.step
         all_tb_info: Dict[str, Any] = {}
@@ -513,6 +544,7 @@ def train(
                 width=data["width"],
                 sh_degree=loop.active_sh_degree,
             )
+        _bucket("dispatch")
 
         log_now = (
             step == 1
@@ -521,9 +553,11 @@ def train(
             or (in_refine and (step - cfg.refine_start) % cfg.refine_every == 0)
         )
         if log_now or step % 10 == 0:
-            losses = {k: float(v) for k, v in ld.items()}
-            last_loss = losses["total"]
-            all_tb_info["train/loss"] = losses
+            for v in ld.values():
+                v.copy_to_host_async()
+            pending_losses.append((step, ld))
+            _drain_losses(min_pending=3)
+        _bucket("loss_sync")
 
         # checkpoint
         if step in save_iters and cfg.output is not None:
@@ -534,6 +568,8 @@ def train(
                 step,
                 adam=loop.adam if cfg.save_optimizer_state else None,
             )
+
+        _bucket("ckpt")
 
         # eval
         if scene.nbr_data("eval") > 0 and (
@@ -552,6 +588,7 @@ def train(
                     all_tb_info[f"render/{k}"] = v
                 elif k in ("psnr", "ssim", "lpips", "fps"):
                     all_tb_info[f"eval/{k}"] = v
+        _bucket("eval")
 
         # refine events
         if densify_now:
@@ -583,6 +620,7 @@ def train(
                 "large_scale": info["prune_large_scale"],
             }
             all_tb_info["train/nbr_gaussians"] = info["nbr_gaussians"]
+        _bucket("densify")
         if reset_now:
             loop.model, loop.adam = reset_opacities(
                 loop.model, loop.adam, cfg.min_opacity
@@ -600,6 +638,7 @@ def train(
         if tb_writer is not None and log_now:
             tb_report(tb_writer, step, all_tb_info)
 
+        _bucket("other")
         if step % 100 == 0:
             elapsed = time.time() - t_start
             logger.info(
@@ -607,10 +646,23 @@ def train(
                 f"loss={last_loss:.5f} "
                 f"({step / elapsed:.2f} it/s)"
             )
+            if loop_timing and buckets:
+                total = sum(buckets.values())
+                parts = " ".join(
+                    f"{k}={v*1e3/100:.1f}ms" for k, v in sorted(
+                        buckets.items(), key=lambda kv: -kv[1]
+                    )
+                )
+                logger.info(
+                    f"loop timing (per step over last 100): {parts} "
+                    f"total={total*1e3/100:.1f}ms"
+                )
+                buckets.clear()
 
         if viewer is not None:
             viewer.update_render_image()
 
+    _drain_losses(min_pending=0)
     if tb_writer is not None:
         tb_writer.close()
     return loop
