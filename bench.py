@@ -27,6 +27,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # optional scale overrides: bench.py [N] [H] [W]
+    argv = sys.argv[1:]
+
     from easy_gaussian_splatting_tpu.models.gaussians import (
         init_gaussian_state,
     )
@@ -38,6 +41,10 @@ def main():
     )
 
     n, h, w = 100_000, 800, 800
+    if len(argv) >= 1:
+        n = int(argv[0])
+    if len(argv) >= 3:
+        h, w = int(argv[1]), int(argv[2])
     rng = np.random.default_rng(0)
     xyzs = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
     rgbs = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)

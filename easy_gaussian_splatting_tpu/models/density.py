@@ -28,6 +28,7 @@ capacity and retries (one recompile per growth).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -214,10 +215,14 @@ def densify_and_prune(
     return new_state, adam_out, info, overflow
 
 
+@functools.partial(jax.jit, static_argnames=("min_opacity",), donate_argnums=(0, 1))
 def reset_opacities(
     state: GaussianModelState, adam: AdamState, min_opacity: float
 ) -> Tuple[GaussianModelState, AdamState]:
-    """Clamp opacities down and zero the opacity group's Adam moments."""
+    """Clamp opacities down and zero the opacity group's Adam moments.
+    Jitted (donated): called from the host loop every
+    ``reset_opacities_every`` steps — eager ops here cost ~1 device RTT
+    each on a remote-device link."""
     opac = jax.nn.sigmoid(state.params.logit_opacities)
     target = jnp.minimum(opac * 0.5, min_opacity * 2.0)
     target = jnp.clip(target, 1e-6, 1.0 - 1e-6)

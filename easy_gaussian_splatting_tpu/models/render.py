@@ -36,6 +36,10 @@ class RenderOutput(NamedTuple):
     image: jnp.ndarray  # [H, W, 3] clamped to [0, 1]
     alpha: jnp.ndarray  # [H, W]
     radii: jnp.ndarray  # [C] screen radii in pixels, 0 => culled
+    # binned intersection count (tiled rasterizer only; None for the
+    # oracle) — the trainer's capacity watchdog reads it from the loss
+    # dict at no extra cost
+    num_isects: jnp.ndarray | None = None
 
 
 def render(
@@ -77,7 +81,7 @@ def render(
     opac_eff = opacities * (proj.radii > 0.0).astype(jnp.float32)
     if rasterizer is None:
         rasterizer = functools.partial(rasterize, chunk=chunk)
-    img, alpha = rasterizer(
+    out = rasterizer(
         proj.means2d,
         proj.conics,
         colors,
@@ -89,5 +93,9 @@ def render(
         camera.width,
         radii=proj.radii,
     )
+    img, alpha = out[0], out[1]
+    num_isects = out[2] if len(out) > 2 else None
     img = jnp.clip(img, 0.0, 1.0)
-    return RenderOutput(image=img, alpha=alpha, radii=proj.radii)
+    return RenderOutput(
+        image=img, alpha=alpha, radii=proj.radii, num_isects=num_isects
+    )

@@ -441,17 +441,22 @@ def _tiled_impl(
     return img, final_t, (binning, feats, tfin_t, last_t)
 
 
+# num_isects rides along as a third (int) output of the custom-VJP core so
+# the trainer can watch the intersection capacity for free (no second
+# binning pass); its cotangent is float0 and is ignored in the backward.
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _rasterize_tiled_core(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
 ):
-    img, final_t, _ = _tiled_impl(
+    img, final_t, (binning, *_rest) = _tiled_impl(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
         interpret,
     )
-    return img, final_t
+    return img, final_t, binning.num_isects
 
 
 def _core_fwd(
@@ -464,7 +469,7 @@ def _core_fwd(
         interpret,
     )
     residuals = (radii, depths, binning, feats, tfin_t, last_t)
-    return (img, final_t), residuals
+    return (img, final_t, binning.num_isects), residuals
 
 
 def _core_bwd(
@@ -474,7 +479,7 @@ def _core_bwd(
     from .pallas.tile_raster import CHUNK, tiled_backward
 
     (radii, depths, binning, feats, tfin_t, last_t) = residuals
-    g_img, g_t = cotangents
+    g_img, g_t, _g_n = cotangents  # num_isects cotangent is float0
     geom = image_geometry(height, width, tile_size)
     basis = tile_pixel_basis(geom)
 
@@ -557,9 +562,12 @@ def rasterize_tiled(
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
     isect_mult: int = 3,
     interpret: bool | None = None,
+    return_isects: bool = False,
 ):
     """Tiled rasterization with the unified rasterizer signature (see
-    ``models/render.py``). Returns (image [H,W,3], alpha [H,W])."""
+    ``models/render.py``). Returns (image [H,W,3], alpha [H,W]) — plus the
+    binned intersection count when ``return_isects`` (the trainer's
+    capacity watchdog reads it through the loss dict at no extra cost)."""
     if interpret is None:
         interpret = _interpret_default()
     c = means2d.shape[0]
@@ -574,12 +582,14 @@ def rasterize_tiled(
     # radii and would exhaust the intersection capacity, truncating real
     # content from deep tiles
     radii = jnp.where(opacities > 0.0, radii, 0.0)
-    img, final_t = _rasterize_tiled_core(
+    img, final_t, num_isects = _rasterize_tiled_core(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
         interpret,
     )
     img = img + final_t[..., None] * background[None, None, :]
+    if return_isects:
+        return img, 1.0 - final_t, num_isects
     return img, 1.0 - final_t
 
 
@@ -635,5 +645,6 @@ def make_tiled_render_fn(
         max_tiles_h=max_tiles_h,
         isect_mult=isect_mult,
         interpret=interpret,
+        return_isects=True,
     )
     return functools.partial(_render, rasterizer=rasterizer)

@@ -123,6 +123,9 @@ def make_train_step(cfg: Config, render_fn: Callable):
                 max_scale_ratio=cfg.max_scale_ratio,
                 lambda_scale=cfg.lambda_scale,
             )
+            if out.num_isects is not None:
+                # capacity-watchdog channel: rides the async loss readback
+                ld["isects"] = out.num_isects.astype(jnp.float32)
             return ld["total"], (ld, out.radii)
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
@@ -348,8 +351,31 @@ def train(
             evaluator.render_fn = render_fn
             evaluator._jitted.clear()
 
-    def check_isect_capacity(data):
+    def maybe_grow_isect_mult(n: int, at_step: int) -> None:
+        """Grow the intersection capacity when the binned count nears it.
+        Fed per-sampled-step from the train step's own binning (the
+        'isects' loss-dict channel — no extra binning pass) and once per
+        densify event right after the population jump."""
         nonlocal render_fn, train_step
+        cap = cfg.isect_mult * loop.model.capacity
+        if n > cap:
+            logger.warning(
+                f"step {at_step}: {n} intersections exceeded capacity "
+                f"{cap:.0f} — that step's gradient was zeroed"
+            )
+        if n > 0.85 * cap:
+            cfg.isect_mult *= 2
+            logger.info(
+                f"intersections {n} near capacity {cap:.0f}: raising "
+                f"isect_mult to {cfg.isect_mult} (recompile)"
+            )
+            render_fn = get_render_fn(cfg)
+            train_step = make_train_step(cfg, render_fn)
+            sharded_steps.clear()
+            evaluator.render_fn = render_fn
+            evaluator._jitted.clear()
+
+    def check_isect_capacity(data):
         if isect_counter is None:
             return
         n = int(
@@ -362,18 +388,7 @@ def train(
                 width=data["width"],
             )
         )
-        cap = cfg.isect_mult * loop.model.capacity
-        if n > 0.85 * cap:
-            cfg.isect_mult *= 2
-            logger.info(
-                f"intersections {n} near capacity {cap}: raising "
-                f"isect_mult to {cfg.isect_mult} (recompile)"
-            )
-            render_fn = get_render_fn(cfg)
-            train_step = make_train_step(cfg, render_fn)
-            sharded_steps.clear()
-            evaluator.render_fn = render_fn
-            evaluator._jitted.clear()
+        maybe_grow_isect_mult(n, loop.step)
 
     # optional multi-chip mesh:
     #   "tiles:N" — image stripes sharded, params replicated
@@ -453,9 +468,17 @@ def train(
         while len(pending_losses) > min_pending:
             old_step, old_ld = pending_losses.pop(0)
             losses = {k: float(v) for k, v in old_ld.items()}
+            n_isects = losses.pop("isects", None)
             last_loss = losses["total"]
             if tb_writer is not None:
                 tb_report(tb_writer, old_step, {"train/loss": losses})
+            if n_isects is not None:
+                if tb_writer is not None:
+                    tb_report(
+                        tb_writer, old_step,
+                        {"train/num_isects": n_isects},
+                    )
+                maybe_grow_isect_mult(int(n_isects), old_step)
     # wall-time buckets for the host loop (EGS_TPU_LOOP_TIMING=1 logs the
     # breakdown every 100 steps — separates device work from host stalls)
     import collections as _collections
