@@ -81,10 +81,19 @@ def zero_stats(capacity: int) -> DensifyStats:
 
 
 def _round_up_capacity(n: int) -> int:
+    """Smallest ladder capacity >= n. Rungs are pow2 AND 1.5*pow2
+    (1024, 1536, 2048, 3072, ...): every per-capacity cost (binning grid,
+    sort domain, argsorts) scales with the rung, and pure pow2 wastes up
+    to 2x right after a round-up (e.g. 1.3M -> 2.1M). Nothing requires
+    pow2 — capacities only need to be static ints; the denser ladder's
+    extra shapes hit the persistent compilation cache on repeats."""
     cap = 1024
-    while cap < n:
+    while True:
+        if cap >= n:
+            return cap
+        if cap + cap // 2 >= n:
+            return cap + cap // 2
         cap *= 2
-    return cap
 
 
 def init_gaussian_state(

@@ -46,27 +46,48 @@ def load_camera_states(path: Path) -> List[CameraState]:
 def make_gs_render_func(get_state, get_sh_degree, background, render_fn):
     """Render closure over (possibly training) model state. ``get_state`` /
     ``get_sh_degree`` are callables so the training loop's latest state is
-    picked up (the reference reads the live module the same way)."""
+    picked up (the reference reads the live module the same way).
+
+    The render is jitted per (width, height, sh_degree, capacity) —
+    running the render graph eagerly would dispatch hundreds of ops
+    one-by-one over a remote-device link (~1 RTT each)."""
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from ..models.render import CameraView
 
+    @functools.lru_cache(maxsize=8)
+    def _jitted(width: int, height: int, sh_degree: int):
+        @jax.jit
+        def run(params, alive, w2c, K, absd):
+            return render_fn(
+                params,
+                alive,
+                CameraView(w2c=w2c, K=K, width=width, height=height),
+                sh_degree,
+                background,
+                absd,
+            ).image
+
+        return run
+
     def gs_render_func(camera_state: CameraState) -> np.ndarray:
         state = get_state()
-        out = render_fn(
+        run = _jitted(
+            int(camera_state.width),
+            int(camera_state.height),
+            int(get_sh_degree()),
+        )
+        img = run(
             state.params,
             state.alive,
-            CameraView(
-                w2c=jnp.asarray(camera_state.w2c, jnp.float32),
-                K=jnp.asarray(camera_state.K, jnp.float32),
-                width=int(camera_state.width),
-                height=int(camera_state.height),
-            ),
-            get_sh_degree(),
-            background,
+            jnp.asarray(camera_state.w2c, jnp.float32),
+            jnp.asarray(camera_state.K, jnp.float32),
             jnp.zeros((state.capacity, 2), jnp.float32),
         )
-        return np.asarray(out.image)
+        return np.asarray(img)
 
     return gs_render_func
 
