@@ -63,10 +63,16 @@ def main():
     )
 
     counter = make_isect_counter(cfg.tile_size, cfg.max_tiles, cfg.max_tiles)
-    n_isect = int(
-        counter(model.params, model.alive, w2c, K, height=h, width=w)
+    n_isect, n_ov = (
+        int(v)
+        for v in np.asarray(
+            counter(model.params, model.alive, w2c, K, height=h, width=w)
+        )
     )
     cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
+    cfg.ov_frac = round(
+        max(0.125, min(1.0, n_ov * 2.0 / model.capacity)), 3
+    )
     step_fn = make_train_step(cfg, get_render_fn(cfg))
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mask = jnp.zeros((h, w), jnp.float32)

@@ -88,6 +88,8 @@ class Binning(NamedTuple):
     tile_offsets: jnp.ndarray  # [T+1]
     num_isects: jnp.ndarray  # [] int32
     counts: jnp.ndarray  # [C] live duplicates per gaussian
+    num_overflow: jnp.ndarray  # [] int32: gaussians needing > SMALL_BUDGET
+    # cells (should stay < the overflow capacity; watchdog grows ov_frac)
 
 
 def binning_extents(
@@ -123,6 +125,9 @@ def binning_extents(
     return jnp.stack([rx, ry], axis=1)
 
 
+SMALL_BUDGET = 9  # cells covered by the small population (3x3 windows)
+
+
 def bin_gaussians(
     means2d: jnp.ndarray,  # [C, 2]
     extents: jnp.ndarray,  # [C, 2] per-axis half-widths, or [C] radii
@@ -132,6 +137,7 @@ def bin_gaussians(
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
     conics: jnp.ndarray | None = None,  # [C, 3] enables the exact tile test
     opacities: jnp.ndarray | None = None,  # [C] required with conics
+    ov_capacity: int | None = None,  # overflow-population slots (None: C//8)
 ) -> Binning:
     c = means2d.shape[0]
     ts = geom.tile_size
@@ -239,9 +245,68 @@ def bin_gaussians(
     flats = jnp.where(live, base_flat, c * m)
     counts = jnp.sum(live, axis=1, dtype=jnp.int32)  # [C]
 
+    if ov_capacity is None:
+        ov_capacity = min(c, max(c // 8, 128))
+    flag = valid_s & (count > SMALL_BUDGET)
+    num_overflow = jnp.sum(flag, dtype=jnp.int32)
+
     rank_bits = max(1, (c - 1).bit_length())
     tile_bits = num_tiles.bit_length()  # ids 0..num_tiles (incl. sentinel)
-    if rank_bits + tile_bits <= 31:
+    two_pop = m > SMALL_BUDGET and ov_capacity > 0 and (
+        rank_bits + tile_bits <= 31
+    )
+    if two_pop:
+        # TWO-POPULATION sort domain. Measured window-size distribution:
+        # w*h <= SMALL_BUDGET covers ~99% of gaussians mid-training, yet
+        # the dense grid pays C*M sort entries. Split:
+        #   A: [C, SMALL_BUDGET] — every gaussian's first cells (covers
+        #      small windows exactly);
+        #   B: [ov_capacity, M] — big-window gaussians compacted by a
+        #      cheap [C] sort, carrying ALL their cells.
+        # Flats stay orig*M+j in BOTH populations, so the backward's
+        # flat-sorted grouping is unchanged. Big gaussians beyond
+        # ov_capacity fall back to their first SMALL_BUDGET cells (a
+        # bounded approximation; the trainer watches num_overflow and
+        # grows ov_frac like the intersection watchdog).
+        ov_rank = jnp.cumsum(flag.astype(jnp.int32)) - flag.astype(jnp.int32)
+        in_ov = flag & (ov_rank < ov_capacity)
+        live_adj = live & (in_ov[:, None] | (j_grid < SMALL_BUDGET))
+        counts = jnp.sum(live_adj, axis=1, dtype=jnp.int32)
+
+        live_a = live_adj[:, :SMALL_BUDGET] & jnp.logical_not(in_ov)[:, None]
+        keys_a = jnp.where(
+            live_a, tile[:, :SMALL_BUDGET], num_tiles
+        ).astype(jnp.int32)
+        flats_a = jnp.where(live_a, base_flat[:, :SMALL_BUDGET], c * m)
+
+        arange_c = jnp.arange(c, dtype=jnp.int32)
+        ov_id = jax.lax.sort(jnp.where(in_ov, arange_c, c))[:ov_capacity]
+        slot_valid = ov_id < c
+        safe_id = jnp.minimum(ov_id, c - 1)
+        keys_full = jnp.where(live_adj, tile, num_tiles).astype(jnp.int32)
+        keys_b = jnp.where(
+            slot_valid[:, None], keys_full[safe_id], num_tiles
+        )
+        flats_b = jnp.where(
+            keys_b < num_tiles, safe_id[:, None] * m + j_grid[:ov_capacity],
+            c * m,
+        )
+        rank_b = rank[safe_id]
+
+        packed = jnp.concatenate(
+            [
+                ((keys_a << rank_bits) | rank[:, None]).reshape(-1),
+                ((keys_b << rank_bits) | rank_b[:, None]).reshape(-1),
+            ]
+        )
+        flats_all = jnp.concatenate(
+            [flats_a.reshape(-1), flats_b.reshape(-1)]
+        )
+        sorted_packed, sorted_flat = jax.lax.sort(
+            (packed, flats_all), num_keys=1, is_stable=False
+        )
+        sorted_keys = (sorted_packed >> rank_bits).astype(jnp.int32)
+    elif rank_bits + tile_bits <= 31:
         # pack (tile, depth-rank) into one int32 key — the comparator
         # orders by tile then by depth within the tile, exactly like a
         # stable sort of depth-sorted duplicates — and carry the FLAT
@@ -277,6 +342,7 @@ def bin_gaussians(
         tile_offsets=tile_offsets,
         num_isects=tile_offsets[num_tiles],
         counts=counts,
+        num_overflow=num_overflow,
     )
 
 
@@ -390,9 +456,14 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _ov_capacity(c: int, ov_frac: float) -> int:
+    return min(c, max(int(c * ov_frac), 128))
+
+
 def _prepare(
     means2d, conics, colors, opacities, radii, depths,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+    ov_frac: float = 0.125,
 ):
     from .pallas.tile_raster import CHUNK
 
@@ -401,7 +472,11 @@ def _prepare(
     binning = bin_gaussians(
         means2d, extents, depths, geom, max_tiles_w, max_tiles_h,
         conics=conics, opacities=opacities,
+        ov_capacity=_ov_capacity(means2d.shape[0], ov_frac),
     )
+    # the two-population sort domain can be smaller than a large
+    # requested cap; clamp (both are static python ints)
+    isect_cap = min(isect_cap, binning.isect_flat.shape[0])
     sliced = Binning(
         order=binning.order,
         isect_orig=binning.isect_orig[:isect_cap],
@@ -410,6 +485,7 @@ def _prepare(
         tile_offsets=jnp.minimum(binning.tile_offsets, isect_cap),
         num_isects=binning.num_isects,
         counts=binning.counts,
+        num_overflow=binning.num_overflow,
     )
     g9 = jnp.concatenate(
         [means2d, conics, colors, opacities[:, None]], axis=1
@@ -423,13 +499,15 @@ def _prepare(
 
 def _tiled_impl(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
-    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+    interpret, ov_frac=0.125,
 ):
     from .pallas.tile_raster import tiled_forward
 
     geom, binning, feats = _prepare(
         means2d, conics, colors, opacities, radii, depths,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+        ov_frac=ov_frac,
     )
     basis = tile_pixel_basis(geom)
     rgb_t, tfin_t, last_t = tiled_forward(
@@ -446,35 +524,39 @@ def _tiled_impl(
 # binning pass); its cotangent is float0 and is ignored in the backward.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
+)
 def _rasterize_tiled_core(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
-    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+    interpret, ov_frac,
 ):
     img, final_t, (binning, *_rest) = _tiled_impl(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-        interpret,
+        interpret, ov_frac,
     )
     return img, final_t, binning.num_isects
 
 
 def _core_fwd(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
-    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+    interpret, ov_frac,
 ):
     img, final_t, (binning, feats, tfin_t, last_t) = _tiled_impl(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-        interpret,
+        interpret, ov_frac,
     )
     residuals = (radii, depths, binning, feats, tfin_t, last_t)
     return (img, final_t, binning.num_isects), residuals
 
 
 def _core_bwd(
-    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap, interpret,
-    residuals, cotangents,
+    height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
+    interpret, ov_frac, residuals, cotangents,
 ):
     from .pallas.tile_raster import CHUNK, tiled_backward
 
@@ -563,6 +645,7 @@ def rasterize_tiled(
     isect_mult: int = 3,
     interpret: bool | None = None,
     return_isects: bool = False,
+    ov_frac: float = 0.125,
 ):
     """Tiled rasterization with the unified rasterizer signature (see
     ``models/render.py``). Returns (image [H,W,3], alpha [H,W]) — plus the
@@ -585,7 +668,7 @@ def rasterize_tiled(
     img, final_t, num_isects = _rasterize_tiled_core(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-        interpret,
+        interpret, ov_frac,
     )
     img = img + final_t[..., None] * background[None, None, :]
     if return_isects:
@@ -597,10 +680,11 @@ def make_isect_counter(
     tile_size: int = DEFAULT_TILE,
     max_tiles_w: int = DEFAULT_MAX_TILES_W,
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
+    ov_frac: float = 0.125,
 ):
-    """Jittable (params, alive, camera) -> number of tile intersections.
-    Used by the trainer to monitor the intersection capacity and trigger
-    auto-growth before the cap would truncate deep tiles."""
+    """Jittable (params, alive, camera) -> [num_isects, num_overflow]
+    (int32 [2]). Used by the trainer to monitor the intersection capacity
+    and the overflow-population occupancy, and to autotune both."""
     import jax as _jax
 
     @functools.partial(
@@ -621,8 +705,9 @@ def make_isect_counter(
         binning = bin_gaussians(
             proj.means2d, extents, proj.depths, geom, max_tiles_w,
             max_tiles_h, conics=proj.conics, opacities=opac,
+            ov_capacity=_ov_capacity(params.means.shape[0], ov_frac),
         )
-        return binning.num_isects
+        return jnp.stack([binning.num_isects, binning.num_overflow])
 
     return count
 
@@ -633,6 +718,7 @@ def make_tiled_render_fn(
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
     isect_mult: int = 3,
     interpret: bool | None = None,
+    ov_frac: float = 0.125,
 ):
     """Render function (models/render.py signature) using the tiled Pallas
     rasterizer."""
@@ -646,5 +732,6 @@ def make_tiled_render_fn(
         isect_mult=isect_mult,
         interpret=interpret,
         return_isects=True,
+        ov_frac=ov_frac,
     )
     return functools.partial(_render, rasterizer=rasterizer)

@@ -94,6 +94,10 @@ class Config:
     # to the kernel CHUNK); the trainer autotunes it from the first frame
     isect_mult: float = 3.0
     max_tiles: int = 4  # duplication budget: max_tiles^2 tiles/gaussian
+    # overflow-population capacity as a fraction of Gaussian capacity
+    # (gaussians covering > 9 tiles; autotuned from the first frame and
+    # grown by the watchdog)
+    ov_frac: float = 0.125
     # (flexible w*h <= max_tiles^2 window; either dim may span the budget)
     max_capacity: int = 4_194_304  # hard cap on Gaussian capacity
     # compact + shrink capacity after heavy pruning (keeps per-capacity

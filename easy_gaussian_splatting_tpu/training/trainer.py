@@ -67,6 +67,7 @@ def get_render_fn(cfg: Config) -> Callable:
             max_tiles_w=cfg.max_tiles,
             max_tiles_h=cfg.max_tiles,
             isect_mult=cfg.isect_mult,
+            ov_frac=cfg.ov_frac,
         )
     return functools.partial(render, chunk=cfg.raster_chunk)
 
@@ -318,36 +319,49 @@ def train(
     if cfg.renderer == "tiled":
         from ..ops.rasterize_tiled import make_isect_counter
 
-        isect_counter = make_isect_counter(
-            cfg.tile_size, cfg.max_tiles, cfg.max_tiles
-        )
+        def _make_counter():
+            return make_isect_counter(
+                cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
+                ov_frac=cfg.ov_frac,
+            )
+
+        isect_counter = _make_counter()
 
     def autotune_isect_mult(data):
         """Size the intersection capacity from the first frame's real
         count (the capacity drives the gather/scatter costs); the watchdog
         still grows it if later frames need more."""
-        nonlocal render_fn, train_step
+        nonlocal render_fn, train_step, isect_counter
         if isect_counter is None:
             return
-        n = int(
-            isect_counter(
-                loop.model.params,
-                loop.model.alive,
-                jnp.asarray(data["w2c"]),
-                jnp.asarray(data["K"]),
-                height=data["height"],
-                width=data["width"],
+        n, n_ov = (
+            int(v)
+            for v in np.asarray(
+                isect_counter(
+                    loop.model.params,
+                    loop.model.alive,
+                    jnp.asarray(data["w2c"]),
+                    jnp.asarray(data["K"]),
+                    height=data["height"],
+                    width=data["width"],
+                )
             )
         )
         want = round(max(0.25, n * 1.3 / loop.model.capacity), 3)
-        if want != cfg.isect_mult:
+        want_ov = round(
+            max(cfg.ov_frac, min(1.0, n_ov * 2.0 / loop.model.capacity)), 3
+        )
+        if want != cfg.isect_mult or want_ov != cfg.ov_frac:
             logger.info(
-                f"isect autotune: {n} intersections on the first frame "
-                f"-> isect_mult {cfg.isect_mult} -> {want}"
+                f"isect autotune: {n} intersections / {n_ov} overflow on "
+                f"the first frame -> isect_mult {cfg.isect_mult} -> "
+                f"{want}, ov_frac {cfg.ov_frac} -> {want_ov}"
             )
             cfg.isect_mult = want
+            cfg.ov_frac = want_ov
             render_fn = get_render_fn(cfg)
             train_step = make_train_step(cfg, render_fn)
+            isect_counter = _make_counter()
             evaluator.render_fn = render_fn
             evaluator._jitted.clear()
 
@@ -376,18 +390,37 @@ def train(
             evaluator._jitted.clear()
 
     def check_isect_capacity(data):
+        nonlocal render_fn, train_step, isect_counter
         if isect_counter is None:
             return
-        n = int(
-            isect_counter(
-                loop.model.params,
-                loop.model.alive,
-                jnp.asarray(data["w2c"]),
-                jnp.asarray(data["K"]),
-                height=data["height"],
-                width=data["width"],
+        n, n_ov = (
+            int(v)
+            for v in np.asarray(
+                isect_counter(
+                    loop.model.params,
+                    loop.model.alive,
+                    jnp.asarray(data["w2c"]),
+                    jnp.asarray(data["K"]),
+                    height=data["height"],
+                    width=data["width"],
+                )
             )
         )
+        from ..ops.rasterize_tiled import _ov_capacity
+
+        ov_cap = _ov_capacity(loop.model.capacity, cfg.ov_frac)
+        if n_ov > 0.85 * ov_cap:
+            cfg.ov_frac = round(min(1.0, cfg.ov_frac * 2.0), 3)
+            logger.info(
+                f"{n_ov} overflow gaussians near capacity {ov_cap}: "
+                f"raising ov_frac to {cfg.ov_frac} (recompile)"
+            )
+            render_fn = get_render_fn(cfg)
+            train_step = make_train_step(cfg, render_fn)
+            isect_counter = _make_counter()
+            sharded_steps.clear()
+            evaluator.render_fn = render_fn
+            evaluator._jitted.clear()
         maybe_grow_isect_mult(n, loop.step)
 
     # optional multi-chip mesh:

@@ -76,7 +76,7 @@ def main():
     )
     w2c = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
     counter = make_isect_counter(cfg.tile_size, cfg.max_tiles, cfg.max_tiles)
-    n_isect = int(counter(model.params, model.alive, w2c, K, height=h, width=w))
+    n_isect = int(np.asarray(counter(model.params, model.alive, w2c, K, height=h, width=w))[0])
     cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
     isect_cap = -(-int(cfg.isect_mult * model.capacity) // 128) * 128
     print(f"N={n} capacity={model.capacity} isect_cap={isect_cap}")

@@ -70,7 +70,7 @@ def main():
     )
 
     counter = make_isect_counter(cfg.tile_size, cfg.max_tiles, cfg.max_tiles)
-    n_isect = int(counter(model.params, model.alive, w2c, K, height=h, width=w))
+    n_isect = int(np.asarray(counter(model.params, model.alive, w2c, K, height=h, width=w))[0])
     cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
     print(f"N={n} capacity={model.capacity} isect_mult={cfg.isect_mult}")
 

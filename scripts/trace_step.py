@@ -54,7 +54,9 @@ def main():
     w2c = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
     counter = make_isect_counter(cfg.tile_size, cfg.max_tiles, cfg.max_tiles)
     n_isect = int(
-        counter(model.params, model.alive, w2c, K, height=h, width=w)
+        np.asarray(
+            counter(model.params, model.alive, w2c, K, height=h, width=w)
+        )[0]
     )
     cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
     step_fn = make_train_step(cfg, get_render_fn(cfg))

@@ -92,6 +92,55 @@ class TestBinning:
                     expected.add(i)
             assert got == expected, f"tile {t}"
 
+    def test_two_population_matches_dense(self, rng):
+        """With enough overflow slots, the two-population sort domain must
+        reproduce the dense C*M domain exactly (same per-tile intersection
+        lists in the same depth order)."""
+        m2d, con, col, opa, rad, dep = _scene(rng, n=40, big=True)
+        geom = image_geometry(H, W, 16)
+        dense = bin_gaussians(m2d, rad, dep, geom, 8, 8, ov_capacity=0)
+        twopop = bin_gaussians(m2d, rad, dep, geom, 8, 8, ov_capacity=40)
+        n = int(dense.num_isects)
+        assert int(twopop.num_isects) == n
+        np.testing.assert_array_equal(
+            np.asarray(dense.tile_offsets), np.asarray(twopop.tile_offsets)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.isect_flat)[:n],
+            np.asarray(twopop.isect_flat)[:n],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.counts), np.asarray(twopop.counts)
+        )
+
+    def test_two_population_truncation_is_bounded(self, rng):
+        """Big-window gaussians beyond the overflow capacity keep exactly
+        their first SMALL_BUDGET cells; num_overflow reports the true
+        big-window population so the watchdog can grow the capacity."""
+        from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+            SMALL_BUDGET,
+        )
+
+        m2d, con, col, opa, rad, dep = _scene(rng, n=40, big=True)
+        geom = image_geometry(H, W, 16)
+        dense = bin_gaussians(m2d, rad, dep, geom, 8, 8, ov_capacity=0)
+        dense_counts = np.asarray(dense.counts)
+        n_big = int(np.sum(dense_counts > 0) and dense.num_overflow)
+        assert n_big == int(dense.num_overflow)
+        cap = max(1, n_big // 2)
+        trunc = bin_gaussians(m2d, rad, dep, geom, 8, 8, ov_capacity=cap)
+        t_counts = np.asarray(trunc.counts)
+        assert int(trunc.num_overflow) == n_big
+        # truncated gaussians keep <= SMALL_BUDGET cells; everyone else
+        # keeps their dense count
+        reduced = t_counts < dense_counts
+        assert np.all(t_counts[reduced] <= SMALL_BUDGET)
+        assert np.all(t_counts[~reduced] == dense_counts[~reduced])
+        # every surviving intersection exists in the dense set
+        n_t = int(trunc.num_isects)
+        dense_set = set(np.asarray(dense.isect_flat)[: int(dense.num_isects)].tolist())
+        assert set(np.asarray(trunc.isect_flat)[:n_t].tolist()) <= dense_set
+
     def test_tile_roundtrip(self, rng):
         img = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
         geom = image_geometry(H, W, 16)
