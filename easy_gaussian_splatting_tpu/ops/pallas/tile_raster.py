@@ -51,10 +51,12 @@ NUM_FEATURES = 16
 # (genuinely broken conics produce large-negative sigma and still fail).
 SIGMA_EPS = 1e-3
 # feature rows [16, I]: 0-5 sigma poly coeffs (px2, py2, pxpy, px, py, 1);
-# rows 6,7 multiply ZERO basis columns in the sigma matmul, so they carry
-# payload (opacity, mx) for free; 8,9,10 rgb; 11,12,13 conic a,b,c; 14 my;
-# 15 pad. Two f32 sublane tiles per 128-lane window.
-ROW_OPACITY = 6  # in the poly group [0:8]
+# row 6 is -log(opacity) with basis col 6 = 1 (the sigma matmul computes
+# s2 = sigma - log(opac), so alpha = exp(-max(s2, nlo)) costs no opacity
+# multiply); row 7 multiplies a ZERO basis column and carries mx as
+# payload; 8,9,10 rgb; 11,12,13 conic a,b,c; 14 my; 15 pad. Two f32
+# sublane tiles per 128-lane window.
+ROW_OPACITY = 6  # -log(opacity), in the poly group [0:8]
 ROW_MX = 7  # in the poly group [0:8]
 ROW_COLOR = 8
 ROW_CONIC = 11
@@ -175,24 +177,27 @@ def _chunk_alpha(buf, basis, start, end, base):
     """Shared alpha evaluation for one chunk.
 
     buf: [16, CH] feature window; basis: [P, 8]; [start, end): the tile's
-    intersection range; base: global index of lane 0. Returns
-    (alpha [P,CH] zeroed when ineligible, elig, G, opac [1,CH], gpos [1,CH]).
+    intersection range; base: global index of lane 0. Feature row 6 is
+    nlo = -log(opacity) and basis column 6 is 1, so the sigma matmul
+    yields s2 = sigma + nlo directly and
+    ``alpha_raw = opac * exp(-max(sigma, 0)) = exp(-max(s2, nlo))`` with
+    no separate opacity multiply. Returns (alpha [P,CH] zeroed when
+    ineligible, elig, alpha_raw [P,CH] unclamped, nlo [1,CH], gpos [1,CH]).
     """
-    poly = buf[0:8, :]  # [8, CH] (rows 6,7 carry opac/mx; basis cols 6,7=0)
-    sigma = jax.lax.dot_general(
+    poly = buf[0:8, :]  # [8, CH] (rows 6,7 carry nlo/mx; basis col 7 = 0)
+    s2 = jax.lax.dot_general(
         basis, poly, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [P, CH]
-    G = jnp.exp(-jnp.maximum(sigma, 0.0))
-    opac = _row(poly, ROW_OPACITY)  # [1, CH]
-    alpha_raw = opac * G
+    )  # [P, CH] = sigma + nlo
+    nlo = _row(poly, ROW_OPACITY)  # [1, CH] = -log(opacity)
+    alpha_raw = jnp.exp(-jnp.maximum(s2, nlo))
     alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sigma.shape[1]), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2.shape[1]), 1)
     gpos = base + lane  # [1, CH] global intersection index
     in_range = (gpos >= start) & (gpos < end)
-    elig = (sigma >= -SIGMA_EPS) & (alpha >= ALPHA_THRESH) & in_range
+    elig = (s2 >= nlo - SIGMA_EPS) & (alpha >= ALPHA_THRESH) & in_range
     alpha = jnp.where(elig, alpha, 0.0)
-    return alpha, elig, G, opac, gpos
+    return alpha, elig, alpha_raw, nlo, gpos
 
 
 def _fwd_kernel(
@@ -280,6 +285,9 @@ def _fwd_kernel(
         rgb_ref[0] = rgb_ref[0] + contrib
 
         # T update: product of om over composited lanes only
+        # (lane reductions here measured FASTER than MXU-matmul
+        # replacements: the sum/any/argmax-as-matmul variant cost
+        # +2.3 ms/step at N=100k, 800x800)
         t_ref[0] = t_in * jnp.exp(
             jnp.sum(jnp.where(comp, l_om, 0.0), axis=1, keepdims=True)
         )
@@ -441,7 +449,7 @@ def _bwd_kernel(
         feats_dma(k).wait()
         buf = buf_ref[jax.lax.rem(k, 2)]
 
-        alpha, elig, G, opac, gpos = _chunk_alpha(
+        alpha, elig, araw, nlo, gpos = _chunk_alpha(
             buf, basis_ref[...], start, end, base
         )
         comp = elig & (gpos <= last)  # [P, CH]
@@ -463,7 +471,7 @@ def _bwd_kernel(
         rs = _scan_mm(dw, l_strict)  # sum over j > g within chunk
         s_g = sstate_ref[...] + rs
         v_alpha = jnp.where(comp, dotc * t_g - s_g * inv, 0.0)
-        v_sigma = -G * opac * v_alpha  # [P, CH]
+        v_sigma = -araw * v_alpha  # [P, CH]  (araw = G * opac)
 
         # MXU reductions over pixels -> moment rows [8, CH]
         moments = jax.lax.dot_general(
@@ -474,7 +482,12 @@ def _bwd_kernel(
             gimg, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [3, CH]
-        v_opac = jnp.sum(G * v_alpha, axis=0, keepdims=True)  # [1, CH]
+        # v_opac = sum_p G*v_alpha = (1/opac) * sum_p araw*v_alpha; the
+        # moments matmul already holds sum_p v_sigma in row 5 (basis col 5
+        # is the ones column), so the whole [P,CH] reduction is free:
+        # v_opac = -m5 * exp(nlo). Dead lanes have v_sigma = 0 -> m5 = 0,
+        # so the exp(nlo) <= 1e12 factor never amplifies garbage.
+        v_opac = -_row(moments, 5) * jnp.exp(nlo)  # [1, CH]
 
         a = _row(grp1, ROW_CONIC - 8)
         b = _row(grp1, ROW_CONIC - 8 + 1)

@@ -374,6 +374,11 @@ def pack_features(
     my = m2d[:, 1] - oy
     a, b, cc = con[:, 0], con[:, 1], con[:, 2]
 
+    # row 6 rides the sigma matmul (basis col 6 = 1): the kernel's MXU
+    # pass computes s2 = sigma - log(opac) directly, so alpha =
+    # exp(-max(s2, nlo)) needs no separate opac*G multiply. Dead lanes
+    # (opa=0) clamp to nlo=27.6 -> alpha <= 1e-12, always ineligible.
+    nlopac = -jnp.log(jnp.maximum(opa, 1e-12))
     zero = jnp.zeros_like(mx)
     feats = jnp.stack(
         [
@@ -383,7 +388,7 @@ def pack_features(
             -(a * mx + b * my),  # 3: * px
             -(cc * my + b * mx),  # 4: * py
             0.5 * a * mx * mx + 0.5 * cc * my * my + b * mx * my,  # 5: * 1
-            opa,  # 6: payload row (basis col 6 is zero)
+            nlopac,  # 6: -log(opacity), folded into sigma (basis col 6 = 1)
             mx,  # 7: payload row (basis col 7 is zero)
             col[:, 0],  # 8
             col[:, 1],  # 9
@@ -401,7 +406,8 @@ def pack_features(
 
 def tile_pixel_basis(geom: TiledGeometry) -> jnp.ndarray:
     """[P_tile, 8] polynomial basis over tile-local pixel centers:
-    columns (px^2, py^2, px*py, px, py, 1, 0, 0)."""
+    columns (px^2, py^2, px*py, px, py, 1, 1, 0). Column 6 folds the
+    feature matrix's -log(opacity) row into the sigma matmul."""
     ts = geom.tile_size
     px = jnp.arange(ts, dtype=jnp.float32) + 0.5
     py = jnp.arange(ts, dtype=jnp.float32) + 0.5
@@ -411,7 +417,7 @@ def tile_pixel_basis(geom: TiledGeometry) -> jnp.ndarray:
     ones = jnp.ones_like(px_f)
     zeros = jnp.zeros_like(px_f)
     return jnp.stack(
-        [px_f * px_f, py_f * py_f, px_f * py_f, px_f, py_f, ones, zeros, zeros],
+        [px_f * px_f, py_f * py_f, px_f * py_f, px_f, py_f, ones, ones, zeros],
         axis=1,
     )
 
