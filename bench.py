@@ -8,10 +8,10 @@ rasterization forward+backward, SSIM+L1 loss, densify statistics, grouped
 Adam — end to end on the attached chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured against 10 train iters/s, the approximate
-single-GPU rate of the torch+gsplat reference at this workload (the
-reference publishes no speed numbers — SURVEY.md §6 — so this is the
-working estimate recorded in BASELINE.md).
+``vs_baseline`` divides by 10 train iters/s — a documented estimate of the
+torch+gsplat reference's whole-run average on its required 16 GB-class GPU
+(the reference publishes no speed numbers, SURVEY.md §6; derivation in
+BASELINE.md "Derivation of the 10 it/s throughput baseline").
 """
 
 import json

@@ -33,6 +33,15 @@ class Evaluator:
         self.lpips = lpips_fn_or_none()
         self._jitted = {}
 
+    def invalidate(self, render_fn: Callable | None = None) -> None:
+        """Drop the jitted render closures (optionally swapping in a new
+        render function). The trainer calls this whenever it rebuilds its
+        renderer (isect-capacity / overflow autotune recompiles), since the
+        closures capture the old one."""
+        if render_fn is not None:
+            self.render_fn = render_fn
+        self._jitted.clear()
+
     def _step_fn(self, height: int, width: int, sh_degree: int):
         key = (height, width, sh_degree)
         if key not in self._jitted:

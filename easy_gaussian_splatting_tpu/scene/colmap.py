@@ -159,53 +159,55 @@ def load_colmap_data(
     eval_indexes); the split shuffle uses the module-global ``random`` state
     (seeded by the entry point) so eval reproduces the training split."""
     root = Path(path)
-    cameras = load_cameras_binary(root / "sparse" / "0" / "cameras.bin")
-    images = load_images_binary(root / "sparse" / "0" / "images.bin")
-    pc = load_points3d_binary(root / "sparse" / "0" / "points3D.bin")
+    sparse = root / "sparse" / "0"
+    cameras = load_cameras_binary(sparse / "cameras.bin")
+    images = load_images_binary(sparse / "images.bin")
+    pc = load_points3d_binary(sparse / "points3D.bin")
 
-    frames: List[Frame] = []
-    mask_count = 0
-    for image_id in images:
-        im = images[image_id]
+    def build_frame(im) -> Frame:
         cam = cameras[im.camera_id]
         w2c = np.eye(4, dtype=np.float32)
         w2c[:3, :3] = quat_to_rotmat_np(np.asarray(im.quat))
         w2c[:3, 3] = np.asarray(im.trans, np.float32)
-        image_path = root / "images" / im.file_name
         mask_path = (root / "masks" / im.file_name).with_suffix(".png")
-        has_mask = use_masks and mask_path.exists()
-        if has_mask:
-            mask_count += 1
-        frames.append(
-            Frame(
-                image_path=image_path,
-                mask_path=mask_path if has_mask else None,
-                mask_expand_pixels=mask_expand_pixels,
-                width=cam.width,
-                height=cam.height,
-                fx=cam.fx,
-                fy=cam.fy,
-                cx=cam.cx,
-                cy=cam.cy,
-                w2c=w2c,
-                white_background=white_background,
-            )
+        return Frame(
+            image_path=root / "images" / im.file_name,
+            mask_path=(
+                mask_path if use_masks and mask_path.exists() else None
+            ),
+            mask_expand_pixels=mask_expand_pixels,
+            width=cam.width,
+            height=cam.height,
+            fx=cam.fx,
+            fy=cam.fy,
+            cx=cam.cx,
+            cy=cam.cy,
+            w2c=w2c,
+            white_background=white_background,
         )
-    frames.sort(key=lambda f: f.image_path)
-    msg = (
-        f"colmap data: {len(cameras)} cameras, {len(images)} images, "
-        f"{pc.nbr_points} points"
-    )
-    if use_masks:
-        msg += f", {mask_count} masks"
-    logger.info(msg)
 
-    num_frames = len(frames)
-    indexes = list(range(num_frames))
+    frames = sorted(
+        (build_frame(im) for im in images.values()),
+        key=lambda f: f.image_path,
+    )
+    mask_count = sum(f.mask_path is not None for f in frames)
+    logger.info(
+        "loaded COLMAP scene: %d registered images / %d camera models / "
+        "%d sparse points%s",
+        len(images),
+        len(cameras),
+        pc.nbr_points,
+        f" / {mask_count} masks" if use_masks else "",
+    )
+
+    # Shuffled ratio split driven by the module-global ``random`` state:
+    # with the same seed, eval reproduces the exact train/eval partition
+    # made at training time.
+    indexes = list(range(len(frames)))
     random.shuffle(indexes)
-    split_point = int(num_frames * eval_split_ratio)
+    split_point = int(len(frames) * eval_split_ratio)
     eval_indexes = indexes[:split_point]
     train_indexes = indexes[split_point:] if eval else indexes
     if not eval_indexes:
-        logger.warning("no data for evaluation")
+        logger.warning("evaluation split is empty")
     return frames, pc, train_indexes, eval_indexes

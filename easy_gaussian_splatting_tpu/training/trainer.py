@@ -316,6 +316,7 @@ def train(
     # intersection count approaches isect_mult * capacity, deep tiles would
     # be silently truncated — grow the multiplier and rebuild the step
     isect_counter = None
+    overflow_steps = 0  # steps whose gradient was zeroed by isect overflow
     if cfg.renderer == "tiled":
         from ..ops.rasterize_tiled import make_isect_counter
 
@@ -362,21 +363,27 @@ def train(
             render_fn = get_render_fn(cfg)
             train_step = make_train_step(cfg, render_fn)
             isect_counter = _make_counter()
-            evaluator.render_fn = render_fn
-            evaluator._jitted.clear()
+            evaluator.invalidate(render_fn)
 
     def maybe_grow_isect_mult(n: int, at_step: int) -> None:
         """Grow the intersection capacity when the binned count nears it.
         Fed per-sampled-step from the train step's own binning (the
         'isects' loss-dict channel — no extra binning pass) and once per
         densify event right after the population jump."""
-        nonlocal render_fn, train_step
+        nonlocal render_fn, train_step, overflow_steps
         cap = cfg.isect_mult * loop.model.capacity
         if n > cap:
+            overflow_steps += 1
             logger.warning(
                 f"step {at_step}: {n} intersections exceeded capacity "
-                f"{cap:.0f} — that step's gradient was zeroed"
+                f"{cap:.0f} — that step's gradient was zeroed "
+                f"({overflow_steps} overflow steps total)"
             )
+            if tb_writer is not None:
+                tb_report(
+                    tb_writer, at_step,
+                    {"train/overflow_steps": overflow_steps},
+                )
         if n > 0.85 * cap:
             cfg.isect_mult *= 2
             logger.info(
@@ -386,8 +393,7 @@ def train(
             render_fn = get_render_fn(cfg)
             train_step = make_train_step(cfg, render_fn)
             sharded_steps.clear()
-            evaluator.render_fn = render_fn
-            evaluator._jitted.clear()
+            evaluator.invalidate(render_fn)
 
     def check_isect_capacity(data):
         nonlocal render_fn, train_step, isect_counter
@@ -419,8 +425,7 @@ def train(
             train_step = make_train_step(cfg, render_fn)
             isect_counter = _make_counter()
             sharded_steps.clear()
-            evaluator.render_fn = render_fn
-            evaluator._jitted.clear()
+            evaluator.invalidate(render_fn)
         maybe_grow_isect_mult(n, loop.step)
 
     # optional multi-chip mesh:

@@ -136,70 +136,79 @@ class CameraState:
 
 
 class DelayRender:
-    """Training-mode mailbox: viewer threads deposit cameras and read the
-    stale image; the train loop calls update_render_image each iteration."""
+    """Single-slot render mailbox for training mode.
+
+    During training, viewer threads must never drive the device directly
+    — a browser dragging the camera would contend with the train step for
+    the chip. Instead each ``get_render_image`` call only *posts* the
+    requested camera (overwriting any older unserved request, since only
+    the newest view matters) and immediately returns the last frame the
+    trainer produced. The train loop calls ``update_render_image`` once
+    per iteration, rendering the posted camera if there is one — so the
+    device cadence is owned entirely by training."""
 
     def __init__(self, render_func: Callable[[CameraState], np.ndarray]):
-        self.camera_states: List[CameraState] = []
-        self.lock = threading.Lock()
-        self.render_img = np.ones((720, 1280, 3), np.float32)
-        self.render_func = render_func
+        self._render = render_func
+        self._slot_lock = threading.Lock()
+        self._requested: CameraState | None = None
+        self._last_frame: np.ndarray = np.ones((720, 1280, 3), np.float32)
 
     def get_render_image(self, camera_state: CameraState) -> np.ndarray:
-        with self.lock:
-            self.camera_states.append(camera_state)
-        return self.render_img
+        with self._slot_lock:
+            self._requested = camera_state
+        return self._last_frame
 
     def update_render_image(self) -> None:
-        camera_state = None
-        with self.lock:
-            if self.camera_states:
-                camera_state = self.camera_states[-1]
-                self.camera_states.clear()
-        if camera_state is not None:
-            self.render_img = self.render_func(camera_state)
+        with self._slot_lock:
+            request, self._requested = self._requested, None
+        if request is not None:
+            self._last_frame = self._render(request)
+
+
+def _geodesic_w2cs(a_w2c: np.ndarray, b_w2c: np.ndarray, count: int):
+    """Yield ``count`` w2c poses stepping along the SE3 geodesic from pose
+    a to pose b (endpoint included, start excluded). A zero budget
+    degenerates to a hard cut to the endpoint."""
+    if count <= 0:
+        yield b_w2c
+        return
+    # relative motion expressed in a's camera frame: a_w2c maps world ->
+    # a-camera, inv(b_w2c) maps b-camera -> world
+    twist = se3_log(a_w2c @ np.linalg.inv(b_w2c))
+    a_c2w = np.linalg.inv(a_w2c)
+    for frac in np.arange(1, count + 1, dtype=np.float64) / count:
+        yield np.linalg.inv(a_c2w @ se3_exp(twist * frac))
 
 
 def camera_interpolation(
     camera_states: List[CameraState], duration: float, fps: float
 ) -> List[CameraState]:
-    """Interpolate a camera path: per-segment frame counts proportional to
-    inter-camera distance; poses interpolated on the SE3 manifold."""
-    n = len(camera_states)
+    """Expand keyframes into a smooth path of ``duration * fps`` frames.
+
+    The frame budget is divided among segments in proportion to the
+    straight-line distance between their endpoint cameras, so the
+    played-back path moves at roughly constant speed; within a segment
+    poses ride the SE3 geodesic. Degenerate inputs (budget smaller than
+    the keyframe count, or all keyframes at one point) return the
+    keyframes unchanged."""
     total_frames = int(duration * fps)
-    if total_frames < n:
+    if total_frames < len(camera_states):
         return camera_states
 
-    dists = np.array(
-        [
-            camera_states[i].distance_to(camera_states[i + 1])
-            for i in range(n - 1)
-        ]
-    )
-    denom = dists.sum()
-    if denom <= 0:
+    segments = list(zip(camera_states, camera_states[1:]))
+    gaps = np.array([a.distance_to(b) for a, b in segments])
+    if gaps.sum() <= 0:
         return camera_states
-    frames_per_seg = dists / denom * total_frames
+    budgets = (gaps / gaps.sum() * total_frames).astype(int)
 
-    base = camera_states[0].copy()
-    out: List[CameraState] = [camera_states[0]]
-    for i in range(n - 1):
-        num = int(frames_per_seg[i])
-        if num == 0:
-            cam = base.copy()
-            cam.w2c = camera_states[i + 1].w2c
-            out.append(cam)
-            continue
-        start_c2w = np.linalg.inv(camera_states[i].w2c)
-        end_c2w = np.linalg.inv(camera_states[i + 1].w2c)
-        rel = np.linalg.inv(start_c2w) @ end_c2w
-        xi = se3_log(rel)
-        for j in range(1, num + 1):
-            c2w = start_c2w @ se3_exp(xi * j / num)
-            cam = base.copy()
-            cam.w2c = np.linalg.inv(c2w)
-            out.append(cam)
-    return out
+    proto = camera_states[0].copy()
+    path: List[CameraState] = [camera_states[0]]
+    for (a, b), budget in zip(segments, budgets):
+        for w2c in _geodesic_w2cs(a.w2c, b.w2c, int(budget)):
+            cam = proto.copy()
+            cam.w2c = w2c
+            path.append(cam)
+    return path
 
 
 class RecordManager:

@@ -107,7 +107,7 @@ def make_bwd_kernel(*, scans=True, geomgrad=True, matmuls=True):
             feats_dma(k).wait()
             buf = buf_ref[jax.lax.rem(k, 2)]
 
-            alpha, elig, G, opac, gpos = _chunk_alpha(
+            alpha, elig, araw, nlo, gpos = _chunk_alpha(
                 buf, basis_ref[...], start, end, base
             )
             comp = elig & (gpos <= last)
@@ -136,7 +136,7 @@ def make_bwd_kernel(*, scans=True, geomgrad=True, matmuls=True):
                 rs = dw
             s_g = sstate_ref[...] + rs
             v_alpha = jnp.where(comp, dotc * t_g - s_g * inv, 0.0)
-            v_sigma = -G * opac * v_alpha
+            v_sigma = -araw * v_alpha  # araw = G * opac
 
             if matmuls:
                 moments = jax.lax.dot_general(
@@ -154,7 +154,9 @@ def make_bwd_kernel(*, scans=True, geomgrad=True, matmuls=True):
                 v_color = jnp.sum(w, axis=0, keepdims=True) + jnp.zeros(
                     (3, w.shape[1]), jnp.float32
                 )
-            v_opac = jnp.sum(G * v_alpha, axis=0, keepdims=True)
+            v_opac = -jnp.sum(
+                v_sigma, axis=0, keepdims=True
+            ) * jnp.exp(nlo)
 
             grp2 = buf[16:24, :]
             mx = _row(grp2, ROW_MX - 16)
