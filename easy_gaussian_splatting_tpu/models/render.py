@@ -24,12 +24,23 @@ from .gaussians import GaussianParams
 
 class CameraView(NamedTuple):
     """One camera: world->camera transform + intrinsics. Width/height are
-    static Python ints (per-resolution jit specialization)."""
+    static Python ints (per-resolution jit specialization).
+
+    ``full_height``/``y_offset`` select a horizontal stripe of a larger
+    viewport (the multi-chip image-sharding path): projection — the EWA
+    Jacobian frustum clamp and the visibility cull — runs in the FULL
+    image's geometry so every chip sees identical conics/radii, then the
+    screen means are shifted down by ``y_offset`` rows and only
+    ``height`` rows are rasterized. This keeps the sharded render exactly
+    equal to the monolithic one (stripe-local projection would shift the
+    fov-dependent clamp, tests/test_parallel.py)."""
 
     w2c: jnp.ndarray  # [4, 4]
     K: jnp.ndarray  # [3, 3]
     width: int
-    height: int
+    height: int  # rasterized rows (the stripe height when sharded)
+    full_height: int | None = None  # projection viewport rows (None: height)
+    y_offset: jnp.ndarray | None = None  # stripe's first row (traced ok)
 
 
 class RenderOutput(NamedTuple):
@@ -56,8 +67,19 @@ def render(
     scales = jnp.exp(params.log_scales)
     opacities = jax.nn.sigmoid(params.logit_opacities) * alive.astype(jnp.float32)
 
-    intr = CameraIntrinsics.from_K(camera.K, camera.width, camera.height)
+    proj_h = (
+        camera.full_height if camera.full_height is not None else camera.height
+    )
+    intr = CameraIntrinsics.from_K(camera.K, camera.width, proj_h)
     proj = project_gaussians(params.means, params.quats, scales, camera.w2c, intr)
+    if camera.y_offset is not None:
+        # stripe rendering: shift to stripe-local rows (see CameraView)
+        proj = proj._replace(
+            means2d=proj.means2d
+            - jnp.stack(
+                [jnp.zeros((), jnp.float32), camera.y_offset]
+            )[None, :]
+        )
 
     # SH color along the camera->Gaussian direction, columnwise [N] math
     # with traced-scalar camera components. (An earlier fori-loop

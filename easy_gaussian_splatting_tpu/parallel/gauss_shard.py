@@ -18,16 +18,21 @@ not fit one chip's HBM next to its optimizer state:
 - densification statistics live sharded; the (rare, every
   ``refine_every``) densify event gathers state host-side, reuses the
   single-device engine, and re-shards.
+
+Works with both the oracle and the production tiled Pallas renderer (the
+per-chip intersection count rides the loss dict as ``isects``, see
+``shard.py``).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.density import update_statistics
 from ..models.gaussians import GaussianModelState
@@ -57,37 +62,35 @@ def gather_state(state):
     return jax.tree.map(lambda x: jax.device_get(x), state)
 
 
-def make_gauss_sharded_train_step(
+def _stripe_dims(height: int, n_dev: int) -> int:
+    if height % n_dev != 0:
+        raise ValueError(
+            f"height {height} must be divisible by mesh size {n_dev}"
+        )
+    return height // n_dev
+
+
+def build_gauss_grads(
     cfg: Config,
     mesh,
     render_fn: Callable,
     height: int,
     width: int,
 ):
-    """Train step over Gaussian-sharded state. State arrays come in with
-    their leading (capacity) axis sharded over the mesh; camera/image
-    inputs replicated."""
+    """Per-chip ZeRO gradient exchange shared by the train step and the
+    test-facing ``make_gauss_sharded_grad_fn``: all-gather the population,
+    render + differentiate the chip's stripe, reduce-scatter the
+    gradients. Runs INSIDE shard_map; returns
+    ``(grads_shard, absgrad_shard, ld, radii_full, radii_shard)``."""
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
-    if height % n_dev != 0:
-        raise ValueError(
-            f"height {height} must be divisible by mesh size {n_dev}"
-        )
-    stripe_h = height // n_dev
+    stripe_h = _stripe_dims(height, n_dev)
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
     )
-    static_lrs = {
-        "log_scales": cfg.log_scales_lr,
-        "quats": cfg.quats_lr,
-        "sh_0": cfg.sh_0_lr,
-        "sh_rest": cfg.sh_rest_lr,
-        "logit_opacities": cfg.logit_opacities_lr,
-    }
 
-    def per_chip(params_shard, alive_shard, stats_shard, mu_shard, nu_shard,
-                 steps, w2c, K, image, mask, lr_means, do_stats, skip_all,
-                 skip_opac, *, sh_degree):
+    def per_chip_grads(params_shard, alive_shard, w2c, K, image, mask,
+                       sh_degree):
         # ---- gather the population for compute (ZeRO exchange, leg 1)
         params = jax.tree.map(
             lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
@@ -100,8 +103,11 @@ def make_gauss_sharded_train_step(
 
         def stripe_loss(params, absdummy):
             y0 = (idx * stripe_h).astype(jnp.float32)
+            # full-image projection geometry + stripe raster window, so
+            # all chips see identical conics/radii (see CameraView)
             camera = CameraView(
-                w2c=w2c, K=K.at[1, 2].add(-y0), width=width, height=stripe_h
+                w2c=w2c, K=K, width=width, height=stripe_h,
+                full_height=height, y_offset=y0,
             )
             out = render_fn(
                 params, alive, camera, sh_degree, background, absdummy
@@ -116,10 +122,10 @@ def make_gauss_sharded_train_step(
                 max_scale_ratio=cfg.max_scale_ratio,
                 lambda_scale=cfg.lambda_scale,
             )
-            return ld["total"], (ld, out.radii)
+            return ld["total"], (ld, out.radii, out.num_isects)
 
         absdummy = jnp.zeros((cap, 2), jnp.float32)
-        (_, (ld, radii)), (grads, absgrad) = jax.value_and_grad(
+        (_, (ld, radii, nis)), (grads, absgrad) = jax.value_and_grad(
             stripe_loss, argnums=(0, 1), has_aux=True
         )(params, absdummy)
 
@@ -138,6 +144,74 @@ def make_gauss_sharded_train_step(
             radii_full, idx * shard_size, shard_size
         )
         ld = jax.tree.map(lambda x: jax.lax.pmean(x, axis), ld)
+        if nis is not None:
+            # per-chip capacity watchdog channel (see shard.py)
+            ld["isects"] = jax.lax.pmax(nis, axis).astype(jnp.float32)
+        return grads_shard, absgrad_shard, ld, radii_full, radii_shard
+
+    return per_chip_grads
+
+
+def make_gauss_sharded_grad_fn(
+    cfg: Config, mesh, render_fn: Callable, height: int, width: int
+):
+    """Jitted pre-Adam gradients of the gauss-sharded step, re-gathered to
+    full (replicated) arrays for gradient-level equivalence tests."""
+    axis = mesh.axis_names[0]
+    grads_impl = build_gauss_grads(cfg, mesh, render_fn, height, width)
+
+    def per_chip(params_shard, alive_shard, w2c, K, image, mask, sh_degree):
+        grads_shard, absgrad_shard, ld, radii_full, _ = grads_impl(
+            params_shard, alive_shard, w2c, K, image, mask, sh_degree
+        )
+        gather = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
+        return (
+            jax.tree.map(gather, grads_shard),
+            gather(absgrad_shard),
+            ld,
+            radii_full,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def grad_fn(model, w2c, K, image, mask, *, sh_degree):
+        fn = shard_map(
+            functools.partial(per_chip, sh_degree=sh_degree),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return fn(model.params, model.alive, w2c, K, image, mask)
+
+    return grad_fn
+
+
+def make_gauss_sharded_train_step(
+    cfg: Config,
+    mesh,
+    render_fn: Callable,
+    height: int,
+    width: int,
+):
+    """Train step over Gaussian-sharded state. State arrays come in with
+    their leading (capacity) axis sharded over the mesh; camera/image
+    inputs replicated."""
+    axis = mesh.axis_names[0]
+    grads_impl = build_gauss_grads(cfg, mesh, render_fn, height, width)
+    static_lrs = {
+        "log_scales": cfg.log_scales_lr,
+        "quats": cfg.quats_lr,
+        "sh_0": cfg.sh_0_lr,
+        "sh_rest": cfg.sh_rest_lr,
+        "logit_opacities": cfg.logit_opacities_lr,
+    }
+
+    def per_chip(params_shard, alive_shard, stats_shard, mu_shard, nu_shard,
+                 steps, w2c, K, image, mask, lr_means, do_stats, skip_all,
+                 skip_opac, *, sh_degree):
+        grads_shard, absgrad_shard, ld, _, radii_shard = grads_impl(
+            params_shard, alive_shard, w2c, K, image, mask, sh_degree
+        )
 
         new_stats = update_statistics(
             stats_shard, radii_shard, absgrad_shard, height, width
@@ -168,8 +242,6 @@ def make_gauss_sharded_train_step(
             adam_new.steps, ld,
         )
 
-    import functools
-
     @functools.partial(jax.jit, static_argnames=("sh_degree",))
     def step(model: GaussianModelState, adam: AdamState, w2c, K, image,
              mask, lr_means, do_stats, skip_all, skip_opac, *, sh_degree):
@@ -181,7 +253,7 @@ def make_gauss_sharded_train_step(
                 P(), P(), P(), P(), P(), P(), P(), P(),
             ),
             out_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         params_new, stats_new, mu, nu, steps, ld = sharded(
             model.params, model.alive, model.stats, adam.mu, adam.nu,

@@ -162,6 +162,43 @@ def make_train_step(cfg: Config, render_fn: Callable):
     return train_step
 
 
+def make_grad_fn(cfg: Config, render_fn: Callable):
+    """Jitted pre-Adam gradients of the single-device step — the rigorous
+    comparison target for the sharded paths' gradient-equivalence tests
+    (``tests/test_parallel.py``)."""
+    background = jnp.full(
+        (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
+    )
+
+    @functools.partial(
+        jax.jit, static_argnames=("height", "width", "sh_degree")
+    )
+    def grad_fn(model, w2c, K, image, mask, *, height, width, sh_degree):
+        capacity = model.params.means.shape[0]
+        camera = CameraView(w2c=w2c, K=K, width=width, height=height)
+        absdummy = jnp.zeros((capacity, 2), jnp.float32)
+
+        def loss_fn(params, absd):
+            out = render_fn(
+                params, model.alive, camera, sh_degree, background, absd
+            )
+            ld = loss_dict(
+                out.image, image, mask, cfg.lambda_ssim,
+                log_scales=params.log_scales, alive=model.alive,
+                use_scale_regularization=cfg.use_scale_regularization,
+                max_scale_ratio=cfg.max_scale_ratio,
+                lambda_scale=cfg.lambda_scale,
+            )
+            return ld["total"], (ld, out.radii)
+
+        (_, (ld, radii)), (grads, absgrad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(model.params, absdummy)
+        return grads, absgrad, ld, radii
+
+    return grad_fn
+
+
 def make_densify_step(cfg: Config):
     dcfg = DensifyConfig(
         densify_grad_thresh=cfg.densify_grad_thresh,
@@ -312,15 +349,65 @@ def train(
     render_fn = get_render_fn(cfg)
     train_step = make_train_step(cfg, render_fn)
 
+    # optional multi-chip mesh:
+    #   "tiles:N" — image stripes sharded, params replicated
+    #   "gauss:N" — ZeRO-style: params/optimizer/stats sharded + stripes
+    mesh = None
+    mesh_mode = ""
+    sharded_steps = {}
+    if cfg.mesh_shape:
+        from ..parallel.mesh import make_mesh
+
+        mesh_mode, n_str = cfg.mesh_shape.split(":")
+        if mesh_mode not in ("tiles", "gauss"):
+            raise ValueError(f"invalid mesh_shape: {cfg.mesh_shape}")
+        mesh = make_mesh(int(n_str))
+        logger.info(
+            f"training on a {n_str}-device mesh (mode: {mesh_mode})"
+        )
+        if mesh_mode == "gauss":
+            from ..parallel.gauss_shard import shard_state
+
+            loop.model = shard_state(loop.model, mesh)
+            loop.adam = shard_state(loop.adam, mesh)
+
+        def get_sharded_step(h, w):
+            if (h, w) not in sharded_steps:
+                if mesh_mode == "gauss":
+                    from ..parallel.gauss_shard import (
+                        make_gauss_sharded_train_step,
+                    )
+
+                    sharded_steps[(h, w)] = make_gauss_sharded_train_step(
+                        cfg, mesh, render_fn, h, w
+                    )
+                else:
+                    from ..parallel.shard import make_sharded_train_step
+
+                    sharded_steps[(h, w)] = make_sharded_train_step(
+                        cfg, mesh, render_fn, h, w
+                    )
+            return sharded_steps[(h, w)]
+
     # intersection-capacity watchdog for the tiled renderer: if the binned
     # intersection count approaches isect_mult * capacity, deep tiles would
-    # be silently truncated — grow the multiplier and rebuild the step
+    # be silently truncated — grow the multiplier and rebuild the step.
+    # Under a mesh, capacities are per-chip and each chip bins only its
+    # stripe, so the counter is the mesh-aware per-stripe MAX.
     isect_counter = None
     overflow_steps = 0  # steps whose gradient was zeroed by isect overflow
     if cfg.renderer == "tiled":
-        from ..ops.rasterize_tiled import make_isect_counter
 
         def _make_counter():
+            if mesh is not None:
+                from ..parallel.shard import make_striped_isect_counter
+
+                return make_striped_isect_counter(
+                    mesh, cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
+                    ov_frac=cfg.ov_frac,
+                )
+            from ..ops.rasterize_tiled import make_isect_counter
+
             return make_isect_counter(
                 cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
                 ov_frac=cfg.ov_frac,
@@ -363,6 +450,7 @@ def train(
             render_fn = get_render_fn(cfg)
             train_step = make_train_step(cfg, render_fn)
             isect_counter = _make_counter()
+            sharded_steps.clear()
             evaluator.invalidate(render_fn)
 
     def maybe_grow_isect_mult(n: int, at_step: int) -> None:
@@ -428,45 +516,6 @@ def train(
             evaluator.invalidate(render_fn)
         maybe_grow_isect_mult(n, loop.step)
 
-    # optional multi-chip mesh:
-    #   "tiles:N" — image stripes sharded, params replicated
-    #   "gauss:N" — ZeRO-style: params/optimizer/stats sharded + stripes
-    mesh = None
-    mesh_mode = ""
-    sharded_steps = {}
-    if cfg.mesh_shape:
-        from ..parallel.mesh import make_mesh
-
-        mesh_mode, n_str = cfg.mesh_shape.split(":")
-        if mesh_mode not in ("tiles", "gauss"):
-            raise ValueError(f"invalid mesh_shape: {cfg.mesh_shape}")
-        mesh = make_mesh(int(n_str))
-        logger.info(
-            f"training on a {n_str}-device mesh (mode: {mesh_mode})"
-        )
-        if mesh_mode == "gauss":
-            from ..parallel.gauss_shard import shard_state
-
-            loop.model = shard_state(loop.model, mesh)
-            loop.adam = shard_state(loop.adam, mesh)
-
-        def get_sharded_step(h, w):
-            if (h, w) not in sharded_steps:
-                if mesh_mode == "gauss":
-                    from ..parallel.gauss_shard import (
-                        make_gauss_sharded_train_step,
-                    )
-
-                    sharded_steps[(h, w)] = make_gauss_sharded_train_step(
-                        cfg, mesh, render_fn, h, w
-                    )
-                else:
-                    from ..parallel.shard import make_sharded_train_step
-
-                    sharded_steps[(h, w)] = make_sharded_train_step(
-                        cfg, mesh, render_fn, h, w
-                    )
-            return sharded_steps[(h, w)]
     densify_step = make_densify_step(cfg)
     means_lr = log_lerp_schedule(
         cfg.means_lr_init, cfg.means_lr_final, cfg.means_lr_schedule_max_steps
@@ -541,7 +590,7 @@ def train(
         step = loop.step
         all_tb_info: Dict[str, Any] = {}
 
-        if not autotuned and not cfg.mesh_shape:
+        if not autotuned:
             autotune_isect_mult(data)
             autotuned = True
 

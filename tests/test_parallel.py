@@ -1,6 +1,12 @@
-"""Multi-chip tests on the virtual CPU mesh: the sharded train step must
-produce the same parameter updates and statistics as the single-device
-step (stripes + all_gather + psum == monolithic render)."""
+"""Multi-chip tests on the virtual CPU mesh.
+
+The rigorous equivalence check compares PRE-ADAM GRADIENTS of the sharded
+paths against the single-device step (Adam's first step amplifies fp noise
+for near-zero gradients, so post-update params are a poor comparison
+surface). Both renderers are covered: the exact O(N*P) oracle (tight fp
+tolerance) and the production tiled Pallas path (interpret mode on CPU;
+tolerance covers MXU-lane/chunk reassociation between the stripe and
+full-image tilings)."""
 
 import numpy as np
 import jax
@@ -10,16 +16,29 @@ import pytest
 from easy_gaussian_splatting_tpu.models.gaussians import init_gaussian_state
 from easy_gaussian_splatting_tpu.models.optimizer import init_adam_state
 from easy_gaussian_splatting_tpu.parallel.mesh import make_mesh
+from easy_gaussian_splatting_tpu.parallel.gauss_shard import (
+    make_gauss_sharded_grad_fn,
+    make_gauss_sharded_train_step,
+    shard_state,
+)
 from easy_gaussian_splatting_tpu.parallel.shard import (
+    make_sharded_grad_fn,
     make_sharded_train_step,
 )
 from easy_gaussian_splatting_tpu.training.config import config_from_dict
 from easy_gaussian_splatting_tpu.training.trainer import (
     get_render_fn,
+    make_grad_fn,
     make_train_step,
 )
 
 H, W = 32, 48
+
+# relative-to-gradient-scale tolerance per renderer: the oracle's sharded
+# sum is a pure psum of disjoint stripe contributions (fp-noise exact);
+# the tiled kernel's per-Gaussian reductions reassociate across the
+# stripe/full tilings (measured ~1.1e-4 of max|g| at this scene scale)
+GRAD_RTOL = {"ref": 1e-5, "tiled": 5e-4}
 
 
 def _setup(seed=0):
@@ -35,9 +54,85 @@ def _setup(seed=0):
     return model, adam, w2c, K, image, mask
 
 
-@pytest.mark.parametrize("n_dev", [2, 4, 8])
-def test_sharded_step_matches_single_device(n_dev):
-    cfg = config_from_dict(dict(renderer="ref", raster_chunk=32))
+def _cfg(renderer):
+    return config_from_dict(dict(renderer=renderer, raster_chunk=32))
+
+
+def _assert_grads_match(g_ref, a_ref, g_test, a_test, rtol):
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_test = jax.tree_util.tree_leaves(g_test)
+    assert len(flat_ref) == len(flat_test)
+    for (path, x), y in zip(flat_ref, flat_test):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = max(np.abs(x).max(), 1e-8)
+        np.testing.assert_allclose(
+            y, x, atol=rtol * scale,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}",
+        )
+    a_ref, a_test = np.asarray(a_ref), np.asarray(a_test)
+    np.testing.assert_allclose(
+        a_test, a_ref, atol=rtol * max(np.abs(a_ref).max(), 1e-8),
+        err_msg="absgrad (densify statistics channel) mismatch",
+    )
+
+
+@pytest.mark.parametrize("renderer", ["ref", "tiled"])
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_gradients_match_single_device(renderer, n_dev):
+    """Image-stripe sharding: psum'd pre-Adam gradients == monolithic."""
+    cfg = _cfg(renderer)
+    render_fn = get_render_fn(cfg)
+    model, _, w2c, K, image, mask = _setup()
+
+    g1, a1, ld1, r1 = make_grad_fn(cfg, render_fn)(
+        model, w2c, K, image, mask, height=H, width=W, sh_degree=1
+    )
+    mesh = make_mesh(n_dev)
+    g2, a2, ld2, r2 = make_sharded_grad_fn(cfg, mesh, render_fn, H, W)(
+        model, w2c, K, image, mask, sh_degree=1
+    )
+
+    np.testing.assert_allclose(
+        float(ld1["total"]), float(ld2["total"]), rtol=1e-6
+    )
+    _assert_grads_match(g1, a1, g2, a2, GRAD_RTOL[renderer])
+    # full-image projection geometry -> radii identical on every chip
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+@pytest.mark.parametrize("renderer", ["ref", "tiled"])
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_gauss_sharded_gradients_match_single_device(renderer, n_dev):
+    """ZeRO-style sharding: all-gather params + reduce-scatter grads
+    reproduces the monolithic pre-Adam gradients."""
+    cfg = _cfg(renderer)
+    render_fn = get_render_fn(cfg)
+    model, _, w2c, K, image, mask = _setup()
+
+    g1, a1, ld1, r1 = make_grad_fn(cfg, render_fn)(
+        model, w2c, K, image, mask, height=H, width=W, sh_degree=1
+    )
+    mesh = make_mesh(n_dev)
+    smodel = shard_state(model, mesh)
+    g2, a2, ld2, r2 = make_gauss_sharded_grad_fn(
+        cfg, mesh, render_fn, H, W
+    )(smodel, w2c, K, image, mask, sh_degree=1)
+
+    np.testing.assert_allclose(
+        float(ld1["total"]), float(ld2["total"]), rtol=1e-6
+    )
+    _assert_grads_match(g1, a1, g2, a2, GRAD_RTOL[renderer])
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+@pytest.mark.parametrize("renderer", ["ref", "tiled"])
+def test_sharded_step_matches_single_device(renderer):
+    """Full-step plumbing (Adam update + densify statistics) on the
+    stripe-sharded path. Gradient equality is asserted rigorously above;
+    this covers the update/stats wiring, so tolerances absorb Adam's
+    first-step amplification of fp noise."""
+    n_dev = 4
+    cfg = _cfg(renderer)
     render_fn = get_render_fn(cfg)
     model, adam, w2c, K, image, mask = _setup()
 
@@ -58,58 +153,36 @@ def test_sharded_step_matches_single_device(n_dev):
         sh_degree=1,
     )
 
-    # stripe culling cuts sub-threshold tail contributions of Gaussians
-    # whose 3-sigma box misses a stripe (the tiled renderer's binning makes
-    # the same cut); allow the resulting small forward difference
     np.testing.assert_allclose(
-        float(ld1["total"]), float(ld2["total"]), rtol=2e-3
+        float(ld1["total"]), float(ld2["total"]), rtol=1e-5
     )
-    # Adam's first-step update is ~lr*g/(|g|+eps): for near-zero grads it
-    # amplifies fp noise up to +-lr, so post-update params get a loose
-    # tolerance; the rigorous equivalence check is on the statistics below.
     np.testing.assert_allclose(
         np.asarray(m1.params.means), np.asarray(m2.params.means),
         atol=5e-3,
     )
     np.testing.assert_allclose(
-        np.asarray(m1.params.logit_opacities),
-        np.asarray(m2.params.logit_opacities),
-        atol=5e-3,
-    )
-    # densify statistics match (absgrad psum + radii pmax)
-    np.testing.assert_allclose(
         np.asarray(m1.stats.grad_norm_accum),
         np.asarray(m2.stats.grad_norm_accum),
-        atol=5e-3, rtol=5e-2,
+        atol=1e-6, rtol=1e-3,
     )
-    # stripe viewports have a smaller vertical fov, which shifts the EWA
-    # Jacobian clamp slightly -> radii can differ by a pixel or two
-    np.testing.assert_allclose(
-        np.asarray(m1.stats.max_radii), np.asarray(m2.stats.max_radii),
-        atol=2.5 / max(H, W),
+    np.testing.assert_array_equal(
+        np.asarray(m1.stats.max_radii), np.asarray(m2.stats.max_radii)
     )
     np.testing.assert_allclose(
         np.asarray(m1.stats.collecting_counts),
         np.asarray(m2.stats.collecting_counts),
     )
+    if renderer == "tiled":
+        # the watchdog channel must ride the sharded loss dict too
+        assert "isects" in ld2 and float(ld2["isects"]) > 0
 
 
-def test_graft_dryrun():
-    import __graft_entry__ as g
-
-    g.dryrun_multichip(8)
-
-
-@pytest.mark.parametrize("n_dev", [2, 4])
-def test_gauss_sharded_step_matches_single_device(n_dev):
-    """ZeRO-style Gaussian sharding: all-gather for compute,
-    reduce-scatter grads, sharded Adam — must match the monolithic step."""
-    from easy_gaussian_splatting_tpu.parallel.gauss_shard import (
-        make_gauss_sharded_train_step,
-        shard_state,
-    )
-
-    cfg = config_from_dict(dict(renderer="ref", raster_chunk=32))
+@pytest.mark.parametrize("renderer", ["ref", "tiled"])
+def test_gauss_sharded_step_matches_single_device(renderer):
+    """Full-step plumbing on the ZeRO path: sharded Adam moments and
+    sharded densify statistics match the monolithic step."""
+    n_dev = 4
+    cfg = _cfg(renderer)
     render_fn = get_render_fn(cfg)
     model, adam, w2c, K, image, mask = _setup()
 
@@ -132,7 +205,7 @@ def test_gauss_sharded_step_matches_single_device(n_dev):
     )
 
     np.testing.assert_allclose(
-        float(ld1["total"]), float(ld2["total"]), rtol=2e-3
+        float(ld1["total"]), float(ld2["total"]), rtol=1e-5
     )
     np.testing.assert_allclose(
         np.asarray(m1.params.means), np.asarray(m2.params.means), atol=5e-3
@@ -140,22 +213,54 @@ def test_gauss_sharded_step_matches_single_device(n_dev):
     np.testing.assert_allclose(
         np.asarray(m1.stats.grad_norm_accum),
         np.asarray(m2.stats.grad_norm_accum),
-        atol=5e-3, rtol=5e-2,
+        atol=1e-6, rtol=1e-3,
     )
-    np.testing.assert_allclose(
-        np.asarray(m1.stats.max_radii), np.asarray(m2.stats.max_radii),
-        atol=2.5 / max(H, W),
+    np.testing.assert_array_equal(
+        np.asarray(m1.stats.max_radii), np.asarray(m2.stats.max_radii)
     )
     # optimizer moments live sharded but numerically match
     np.testing.assert_allclose(
-        np.asarray(a1.mu.means), np.asarray(a2.mu.means), atol=1e-4,
-        rtol=5e-2,
+        np.asarray(a1.mu.means), np.asarray(a2.mu.means), atol=1e-6,
+        rtol=1e-3,
     )
     assert int(a2.steps["means"]) == 1
+    if renderer == "tiled":
+        assert "isects" in ld2 and float(ld2["isects"]) > 0
+
+
+def test_striped_isect_counter_matches_step_channel():
+    """The mesh-aware autotune counter must agree with the per-chip
+    intersection counts the sharded tiled step reports."""
+    from easy_gaussian_splatting_tpu.parallel.shard import (
+        make_striped_isect_counter,
+    )
+
+    cfg = _cfg("tiled")
+    render_fn = get_render_fn(cfg)
+    model, _, w2c, K, image, mask = _setup()
+    mesh = make_mesh(4)
+    counts = make_striped_isect_counter(
+        mesh, cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
+        ov_frac=cfg.ov_frac,
+    )(model.params, model.alive, w2c, K, height=H, width=W)
+    n_max, _ = (int(v) for v in np.asarray(counts))
+
+    _, _, ld, _ = make_sharded_grad_fn(cfg, mesh, render_fn, H, W)(
+        model, w2c, K, image, mask, sh_degree=1
+    )
+    assert n_max == int(ld["isects"])
+    assert n_max > 0
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
 
 
 def test_train_loop_gauss_mesh(tmp_path):
-    """Full train() smoke on a gauss:4 mesh, exercising the sharded step,
+    """Full train() smoke on a gauss:4 mesh with the TILED renderer,
+    exercising the sharded step, the mesh-aware autotune/watchdog,
     gather->densify->reshard, and opacity reset on sharded state."""
     import random
 
@@ -181,7 +286,7 @@ def test_train_loop_gauss_mesh(tmp_path):
             refine_every=5,
             reset_opacities_every=10,
             log_every=5,
-            renderer="ref",
+            renderer="tiled",
             raster_chunk=32,
             blender_init_points=24,
             initial_capacity=64,
@@ -193,4 +298,45 @@ def test_train_loop_gauss_mesh(tmp_path):
     np.random.seed(0)
     loop = train(cfg)
     assert loop.step == 14
+    assert int(loop.model.num_alive()) > 0
+
+
+def test_train_loop_tiles_mesh(tmp_path):
+    """Full train() smoke on a tiles:4 mesh with the tiled renderer."""
+    import random
+
+    from easy_gaussian_splatting_tpu.training.trainer import train
+    from test_scene import write_blender_scene
+
+    write_blender_scene(tmp_path / "scene", n_train=3, n_test=1, size=24)
+    cfg = config_from_dict(
+        dict(
+            data=str(tmp_path / "scene"),
+            data_format="blender",
+            output=None,
+            white_background=True,
+            total_iterations=8,
+            save_model_iterations=[8],
+            eval=False,
+            eval_in_test=False,
+            eval_every=100,
+            sh_degree=1,
+            sh_degree_interval=6,
+            refine_start=2,
+            refine_stop=6,
+            refine_every=3,
+            reset_opacities_every=10,
+            log_every=5,
+            renderer="tiled",
+            raster_chunk=32,
+            blender_init_points=24,
+            initial_capacity=64,
+            dataloader_workers=0,
+            mesh_shape="tiles:4",
+        )
+    )
+    random.seed(0)
+    np.random.seed(0)
+    loop = train(cfg)
+    assert loop.step == 8
     assert int(loop.model.num_alive()) > 0
