@@ -21,7 +21,7 @@ from ..models.gaussians import GaussianModelState
 from ..models.loss import composite_mask
 from ..models.render import CameraView
 from .metrics import psnr, ssim
-from .lpips import lpips_fn_or_none
+from .lpips import get_lpips
 
 logger = logging.getLogger(__name__)
 
@@ -30,7 +30,7 @@ class Evaluator:
     def __init__(self, eval_render_num: int, render_fn: Callable):
         self.eval_render_num = eval_render_num
         self.render_fn = render_fn
-        self.lpips = lpips_fn_or_none()
+        self.lpips = get_lpips()  # "vgg" (pretrained) or "proxy" (seeded)
         self._jitted = {}
 
     def invalidate(self, render_fn: Callable | None = None) -> None:
@@ -85,7 +85,7 @@ class Evaluator:
         # tunnel); batched dispatch + one fused metric fetch amortizes it.
         psnrs = []
         ssims = []
-        comps_for_lpips = []
+        lpips_pairs = []
         renders = []
         t0 = None
         for i, data in enumerate(
@@ -112,8 +112,7 @@ class Evaluator:
             )
             psnrs.append(m_psnr)
             ssims.append(m_ssim)
-            if self.lpips is not None:
-                comps_for_lpips.append((comp, data["image"]))
+            lpips_pairs.append((comp, image))
             if i in render_indexes:
                 renders.append((data["image"], render_img))
 
@@ -124,8 +123,13 @@ class Evaluator:
             metrics["ssim"] = float(vals[len(psnrs):].sum())
         else:
             cost = 0.0
-        for comp, gt in comps_for_lpips:
-            metrics["lpips"] += float(self.lpips(np.asarray(comp), gt))
+        # LPIPS after the timed render window (it's a separate VGG pass,
+        # not part of render FPS): dispatch all frames, one fused fetch
+        lpips_vals = [
+            self.lpips.device_fn(comp, gt) for comp, gt in lpips_pairs
+        ]
+        if lpips_vals:
+            metrics["lpips"] = float(np.asarray(jnp.stack(lpips_vals)).sum())
         for render_count, (gt, render_img) in enumerate(renders, start=1):
             side = np.concatenate([gt, np.asarray(render_img)], axis=1)
             metrics[f"render_{render_count}"] = side

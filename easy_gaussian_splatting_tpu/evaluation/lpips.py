@@ -1,60 +1,99 @@
-"""LPIPS (VGG backbone) — gated on locally-available weights.
+"""LPIPS (VGG backbone) in pure JAX.
 
-Behavioral spec: the reference uses torchmetrics
-``LearnedPerceptualImagePatchSimilarity("vgg", normalize=True)``
-(``/root/reference/eval.py:27``), which needs torchvision's pretrained
-VGG16 features plus LPIPS linear heads. This environment has no torchvision
-and no network egress, so those weights cannot be obtained here.
+Behavioral spec: the reference evaluates torchmetrics
+``LearnedPerceptualImagePatchSimilarity("vgg", normalize=True)`` on every
+eval pass (``/root/reference/eval.py:27,56``): ImageNet-normalized inputs
+through VGG16 features, channel-unit-normalized activations at the 5 relu
+taps, squared differences weighted by learned linear heads, spatially
+averaged and summed over taps.
 
-Mechanism: if ``EGS_TPU_LPIPS_WEIGHTS`` points at an ``.npz`` with the VGG16
-conv weights (keys ``conv{i}_w``/``conv{i}_b`` for the 13 convs, torch OIHW
-layout) and linear head weights (``lin{0..4}_w``), a pure-JAX LPIPS is
-built; otherwise LPIPS is reported as unavailable and the evaluator skips
-it (logged once)."""
+Weights policy (no network egress in this environment, torchvision not
+installed):
+
+- ``EGS_TPU_LPIPS_WEIGHTS=<path.npz>`` supplies the real pretrained
+  VGG16 conv weights + LPIPS linear heads (export with
+  ``scripts/export_lpips_weights.py`` wherever torchvision exists). With
+  it, values match reference LPIPS-VGG.
+- Without it, a DETERMINISTIC PROXY is built: He-initialized VGG16 conv
+  stacks from a fixed seed and uniform (1/C) head weights. Randomly
+  initialized VGG features are a known usable perceptual distance (the
+  LPIPS paper's "rand" baseline); the proxy is reproducible across runs
+  and machines of this framework, so it tracks training progress and
+  regressions — but its absolute values are NOT comparable to published
+  LPIPS numbers, which is warned loudly at eval time.
+- A set-but-missing weights path is an error, never a silent fallback.
+
+The numerical pipeline (conv/pool plan, taps, normalizations) is
+validated at full depth against an independent torch implementation in
+``tests/test_lpips.py``.
+"""
 
 from __future__ import annotations
 
 import functools
 import logging
 import os
-from typing import Callable, Optional
+from typing import Callable, Dict, NamedTuple
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
 # VGG16 feature architecture (conv channel plan + pooling positions);
-# LPIPS taps the activations after each relu block.
+# LPIPS taps the activations after the last relu of each block.
 VGG16_PLAN = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
 LPIPS_TAPS = (1, 3, 6, 9, 12)  # conv indexes after which features are tapped
+TAP_CHANNELS = (64, 128, 256, 512, 512)
 # ImageNet normalization used by LPIPS with normalize=True ([0,1] inputs)
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
+PROXY_SEED = 0
 
-@functools.lru_cache(maxsize=1)
-def lpips_fn_or_none() -> Optional[Callable]:
-    path = os.environ.get("EGS_TPU_LPIPS_WEIGHTS", "")
-    if not path or not os.path.exists(path):
-        logger.warning(
-            "LPIPS weights unavailable (set EGS_TPU_LPIPS_WEIGHTS to a VGG16+"
-            "linear-head .npz to enable); reporting lpips=0"
-        )
-        return None
-    weights = dict(np.load(path))
 
+def proxy_weights(seed: int = PROXY_SEED) -> Dict[str, np.ndarray]:
+    """Deterministic He-initialized VGG16 conv stack + uniform heads."""
+    rng = np.random.default_rng(seed)
+    arrays: Dict[str, np.ndarray] = {}
+    in_ch = 3
+    conv_i = 0
+    for item in VGG16_PLAN:
+        if item == "M":
+            continue
+        fan_in = in_ch * 9
+        arrays[f"conv{conv_i}_w"] = (
+            rng.normal(size=(item, in_ch, 3, 3)) * np.sqrt(2.0 / fan_in)
+        ).astype(np.float32)
+        arrays[f"conv{conv_i}_b"] = np.zeros((item,), np.float32)
+        in_ch = item
+        conv_i += 1
+    for i, ch in enumerate(TAP_CHANNELS):
+        arrays[f"lin{i}_w"] = np.full((ch,), 1.0 / ch, np.float32)
+    return arrays
+
+
+def build_lpips_device_fn(weights: Dict[str, np.ndarray]) -> Callable:
+    """Jitted (a, b) -> scalar LPIPS distance for [H, W, 3] images in
+    [0, 1] (device arrays in, device scalar out — the evaluator batches
+    the host fetch)."""
     import jax
     import jax.numpy as jnp
+
+    # weights ride as jit ARGUMENTS, not closed-over constants: baking
+    # ~59 MB of conv filters into the jaxpr as literals makes the (remote)
+    # compile and its cache key enormous — as traced args they hash by
+    # shape/dtype only and upload to the device once here
+    weights_dev = {k: jnp.asarray(v) for k, v in weights.items()}
 
     def conv(x, w, b):
         # x [1, C, H, W]; w torch OIHW
         out = jax.lax.conv_general_dilated(
-            x, jnp.asarray(w), (1, 1), "SAME",
+            x, w, (1, 1), "SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
-        return out + jnp.asarray(b)[None, :, None, None]
+        return out + b[None, :, None, None]
 
-    def features(x):
+    def features(x, wts):
         feats = []
         conv_i = 0
         for item in VGG16_PLAN:
@@ -64,7 +103,7 @@ def lpips_fn_or_none() -> Optional[Callable]:
                     "VALID",
                 )
             else:
-                x = conv(x, weights[f"conv{conv_i}_w"], weights[f"conv{conv_i}_b"])
+                x = conv(x, wts[f"conv{conv_i}_w"], wts[f"conv{conv_i}_b"])
                 x = jax.nn.relu(x)
                 if conv_i in LPIPS_TAPS:
                     feats.append(x)
@@ -72,14 +111,13 @@ def lpips_fn_or_none() -> Optional[Callable]:
         return feats
 
     @jax.jit
-    def lpips(a, b):
-        # a, b: [H, W, 3] in [0, 1]
+    def lpips(a, b, wts):
         def prep(img):
             img = img * 2.0 - 1.0  # normalize=True maps [0,1] -> [-1,1]
             img = (img - _SHIFT) / _SCALE
             return jnp.moveaxis(img, -1, 0)[None]
 
-        fa, fb = features(prep(a)), features(prep(b))
+        fa, fb = features(prep(a), wts), features(prep(b), wts)
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
             na = xa / jnp.maximum(
@@ -89,12 +127,50 @@ def lpips_fn_or_none() -> Optional[Callable]:
                 jnp.linalg.norm(xb, axis=1, keepdims=True), 1e-10
             )
             diff = (na - nb) ** 2
-            w = jnp.asarray(weights[f"lin{i}_w"]).reshape(1, -1, 1, 1)
+            w = wts[f"lin{i}_w"].reshape(1, -1, 1, 1)
             total = total + jnp.mean(jnp.sum(diff * w, axis=1))
         return total
 
-    def run(a: np.ndarray, b: np.ndarray) -> float:
-        return float(lpips(a.astype(np.float32), b.astype(np.float32)))
+    return lambda a, b: lpips(a, b, weights_dev)
 
-    logger.info(f"LPIPS enabled with weights from {path}")
-    return run
+
+class LPIPS(NamedTuple):
+    """``kind`` is "vgg" (real pretrained weights) or "proxy"
+    (deterministic seeded weights — values internal to this framework)."""
+
+    kind: str
+    device_fn: Callable  # (a_dev, b_dev) -> device scalar
+
+    def __call__(self, a: np.ndarray, b: np.ndarray) -> float:
+        return float(
+            self.device_fn(a.astype(np.float32), b.astype(np.float32))
+        )
+
+
+@functools.lru_cache(maxsize=1)
+def get_lpips() -> LPIPS:
+    path = os.environ.get("EGS_TPU_LPIPS_WEIGHTS", "")
+    if path:
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"EGS_TPU_LPIPS_WEIGHTS={path} does not exist — refusing "
+                "to silently fall back (unset it to use the deterministic "
+                "proxy metric, or export real weights with "
+                "scripts/export_lpips_weights.py)"
+            )
+        weights = dict(np.load(path))
+        logger.info(f"LPIPS-VGG enabled with pretrained weights from {path}")
+        return LPIPS("vgg", build_lpips_device_fn(weights))
+    logger.warning(
+        "LPIPS: no pretrained weights (EGS_TPU_LPIPS_WEIGHTS unset) — "
+        "using the DETERMINISTIC PROXY metric (seeded random VGG16, "
+        f"seed {PROXY_SEED}). Proxy values are reproducible and track "
+        "perceptual quality within this framework, but are NOT comparable "
+        "to published LPIPS-VGG numbers."
+    )
+    return LPIPS("proxy", build_lpips_device_fn(proxy_weights()))
+
+
+def lpips_fn_or_none() -> LPIPS:
+    """Backward-compatible alias (always returns a metric now)."""
+    return get_lpips()

@@ -3,9 +3,8 @@
 Behavioral spec (``/root/reference/eval.py:25-27,54-56``): PSNR and SSIM
 with ``data_range=1.0`` (torchmetrics defaults), plus LPIPS (VGG,
 normalize=True). SSIM is shared with the loss (``ops/ssim.py``). LPIPS
-needs pretrained VGG16 + linear-head weights, which cannot be downloaded in
-this offline environment — ``lpips_available()`` gates it on a local
-weights file (see ``lpips.py``).
+lives in ``lpips.py`` (pretrained weights via EGS_TPU_LPIPS_WEIGHTS, or a
+deterministic seeded proxy otherwise).
 """
 
 from __future__ import annotations

@@ -70,9 +70,12 @@ def eval(training_output_path: str, iterations: Optional[int] = None):
             scene, split, state, active_sh_degree, background,
             num_workers=cfg.dataloader_workers,
         )
+        lpips_tag = (
+            "lpips" if evaluator.lpips.kind == "vgg" else "lpips(proxy)"
+        )
         logger.info(
             f"evaluation in {set_name:>10s}: psnr={m['psnr']:6.3f}, "
-            f"ssim={m['ssim']:6.3f}, lpips={m['lpips']:6.3f}, "
+            f"ssim={m['ssim']:6.3f}, {lpips_tag}={m['lpips']:6.3f}, "
             f"fps={m['fps']:6.3f}"
         )
 

@@ -1,62 +1,139 @@
-"""LPIPS plumbing test: with a synthetic weights file, the JAX LPIPS
-builds, runs, is zero for identical images and positive for different
-ones. (Real VGG weights cannot be downloaded in this environment; value
-parity is validated wherever weights are available.)"""
+"""LPIPS tests.
+
+The JAX implementation is validated AT FULL DEPTH (all 13 VGG16 convs,
+both pools, all 5 taps, unit-normalization, linear heads, spatial mean)
+against an independent torch implementation of the same published
+pipeline — so whenever real pretrained weights are supplied via
+``EGS_TPU_LPIPS_WEIGHTS`` the values match reference LPIPS-VGG math. Also
+covers the deterministic-proxy fallback (reproducible, discriminative,
+zero on identical images) and the loud failure on a missing weights path.
+"""
 
 import numpy as np
 import pytest
 
+from easy_gaussian_splatting_tpu.evaluation.lpips import (
+    LPIPS_TAPS,
+    TAP_CHANNELS,
+    VGG16_PLAN,
+    build_lpips_device_fn,
+    get_lpips,
+    proxy_weights,
+)
 
-@pytest.fixture
-def fake_weights(tmp_path, rng, monkeypatch):
-    from easy_gaussian_splatting_tpu.evaluation.lpips import (
-        VGG16_PLAN,
-        LPIPS_TAPS,
-        lpips_fn_or_none,
-    )
 
-    arrays = {}
-    in_ch = 3
+def _torch_lpips(weights, a, b):
+    """Independent torch implementation of the LPIPS(VGG) pipeline."""
+    import torch
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def prep(img):
+        x = torch.from_numpy(img).permute(2, 0, 1)[None] * 2.0 - 1.0
+        return (x - shift) / scale
+
+    def feats(x):
+        out = []
+        conv_i = 0
+        for item in VGG16_PLAN:
+            if item == "M":
+                x = F.max_pool2d(x, 2, 2)
+            else:
+                x = F.conv2d(
+                    x,
+                    torch.from_numpy(weights[f"conv{conv_i}_w"]),
+                    torch.from_numpy(weights[f"conv{conv_i}_b"]),
+                    padding=1,
+                )
+                x = F.relu(x)
+                if conv_i in LPIPS_TAPS:
+                    out.append(x)
+                conv_i += 1
+        return out
+
+    total = 0.0
+    for i, (xa, xb) in enumerate(zip(feats(prep(a)), feats(prep(b)))):
+        na = xa / xa.norm(dim=1, keepdim=True).clamp_min(1e-10)
+        nb = xb / xb.norm(dim=1, keepdim=True).clamp_min(1e-10)
+        w = torch.from_numpy(weights[f"lin{i}_w"]).view(1, -1, 1, 1)
+        total += ((na - nb) ** 2 * w).sum(dim=1).mean().item()
+    return total
+
+
+def test_lpips_matches_torch_at_full_depth(rng):
+    """JAX LPIPS == independent torch LPIPS for arbitrary full-shape
+    weights — validates every stage of the pipeline."""
+    weights = proxy_weights(seed=7)
+    # non-zero biases + non-uniform heads so nothing cancels trivially
     conv_i = 0
     for item in VGG16_PLAN:
         if item == "M":
             continue
-        arrays[f"conv{conv_i}_w"] = (
-            rng.normal(size=(item, in_ch, 3, 3)).astype(np.float32) * 0.05
+        weights[f"conv{conv_i}_b"] = (
+            rng.normal(size=(item,)).astype(np.float32) * 0.01
         )
-        arrays[f"conv{conv_i}_b"] = np.zeros((item,), np.float32)
-        in_ch = item
         conv_i += 1
-    taps_channels = [64, 128, 256, 512, 512]
-    for i, ch in enumerate(taps_channels):
-        arrays[f"lin{i}_w"] = np.abs(
+    for i, ch in enumerate(TAP_CHANNELS):
+        weights[f"lin{i}_w"] = np.abs(
             rng.normal(size=(ch,)).astype(np.float32)
         )
-    path = tmp_path / "w.npz"
-    np.savez(path, **arrays)
-    monkeypatch.setenv("EGS_TPU_LPIPS_WEIGHTS", str(path))
-    lpips_fn_or_none.cache_clear()
-    yield path
-    lpips_fn_or_none.cache_clear()
+
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = np.clip(
+        a + rng.normal(size=a.shape).astype(np.float32) * 0.1, 0, 1
+    ).astype(np.float32)
+
+    fn = build_lpips_device_fn(weights)
+    got = float(fn(a, b))
+    want = _torch_lpips(weights, a, b)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    assert got > 1e-5
 
 
-def test_lpips_builds_and_discriminates(fake_weights, rng):
-    from easy_gaussian_splatting_tpu.evaluation.lpips import lpips_fn_or_none
+def test_proxy_is_deterministic_and_discriminates(rng):
+    w1, w2 = proxy_weights(), proxy_weights()
+    for k in w1:
+        np.testing.assert_array_equal(w1[k], w2[k])
 
-    fn = lpips_fn_or_none()
-    assert fn is not None
+    fn = build_lpips_device_fn(w1)
     a = rng.uniform(size=(32, 32, 3)).astype(np.float32)
-    b = rng.uniform(size=(32, 32, 3)).astype(np.float32)
-    same = fn(a, a)
-    diff = fn(a, b)
-    assert abs(same) < 1e-6
-    assert diff > 1e-4
+    noisy = np.clip(
+        a + rng.normal(size=a.shape).astype(np.float32) * 0.05, 0, 1
+    ).astype(np.float32)
+    very_noisy = np.clip(
+        a + rng.normal(size=a.shape).astype(np.float32) * 0.3, 0, 1
+    ).astype(np.float32)
+    assert float(fn(a, a)) == pytest.approx(0.0, abs=1e-6)
+    d1, d2 = float(fn(a, noisy)), float(fn(a, very_noisy))
+    assert 0.0 < d1 < d2  # monotone in perturbation size
 
 
-def test_lpips_unavailable_without_weights(monkeypatch):
-    from easy_gaussian_splatting_tpu.evaluation.lpips import lpips_fn_or_none
-
+def test_get_lpips_proxy_fallback_and_missing_path_error(monkeypatch):
     monkeypatch.delenv("EGS_TPU_LPIPS_WEIGHTS", raising=False)
-    lpips_fn_or_none.cache_clear()
-    assert lpips_fn_or_none() is None
-    lpips_fn_or_none.cache_clear()
+    get_lpips.cache_clear()
+    lp = get_lpips()
+    assert lp.kind == "proxy"
+    a = np.zeros((16, 16, 3), np.float32)
+    assert lp(a, a) == pytest.approx(0.0, abs=1e-6)
+
+    monkeypatch.setenv("EGS_TPU_LPIPS_WEIGHTS", "/nonexistent/weights.npz")
+    get_lpips.cache_clear()
+    with pytest.raises(FileNotFoundError):
+        get_lpips()
+    get_lpips.cache_clear()
+
+
+def test_get_lpips_loads_real_weights_file(tmp_path, monkeypatch):
+    path = tmp_path / "w.npz"
+    np.savez(path, **proxy_weights(seed=3))
+    monkeypatch.setenv("EGS_TPU_LPIPS_WEIGHTS", str(path))
+    get_lpips.cache_clear()
+    lp = get_lpips()
+    assert lp.kind == "vgg"
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    b = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    assert lp(a, b) > 0.0
+    get_lpips.cache_clear()
