@@ -6,7 +6,13 @@ scaling-book recipe: pick a mesh, annotate shardings, let XLA insert the
 collectives over ICI.
 """
 
-from .mesh import make_mesh
+from .distributed import maybe_initialize_from_env
+from .mesh import make_mesh, make_mesh2d
 from .shard import make_sharded_train_step
 
-__all__ = ["make_mesh", "make_sharded_train_step"]
+__all__ = [
+    "make_mesh",
+    "make_mesh2d",
+    "make_sharded_train_step",
+    "maybe_initialize_from_env",
+]

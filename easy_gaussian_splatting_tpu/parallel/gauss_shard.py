@@ -70,6 +70,17 @@ def _stripe_dims(height: int, n_dev: int) -> int:
     return height // n_dev
 
 
+def _mesh_axes(mesh):
+    """(gauss_axis, tile_axis_or_None, n_tiles) for 1-D ("gauss",) and
+    2-D ("gauss", "tiles") meshes."""
+    axes = mesh.axis_names
+    if len(axes) == 1:
+        return axes[0], None, 1
+    if len(axes) == 2:
+        return axes[0], axes[1], mesh.devices.shape[1]
+    raise ValueError(f"unsupported mesh axes {axes}")
+
+
 def build_gauss_grads(
     cfg: Config,
     mesh,
@@ -81,10 +92,20 @@ def build_gauss_grads(
     test-facing ``make_gauss_sharded_grad_fn``: all-gather the population,
     render + differentiate the chip's stripe, reduce-scatter the
     gradients. Runs INSIDE shard_map; returns
-    ``(grads_shard, absgrad_shard, ld, radii_full, radii_shard)``."""
-    n_dev = mesh.devices.size
-    axis = mesh.axis_names[0]
-    stripe_h = _stripe_dims(height, n_dev)
+    ``(grads_shard, absgrad_shard, ld, radii_full, radii_shard)``.
+
+    Supports 1-D ``(gauss,)`` meshes (n_gauss stripes) and 2-D
+    ``(gauss, tiles)`` meshes: storage shards over ``gauss`` only, while
+    every device of the grid renders a distinct stripe (stripe index =
+    gauss_idx * n_tiles + tile_idx, matching the g-major image
+    all-gather), so compute scales with the full device count and memory
+    with the gauss axis. On multi-host topologies put ``tiles`` minor so
+    the stripe gathers stay on ICI (see mesh.make_mesh2d)."""
+    n_total = mesh.devices.size
+    axis, tile_axis, n_tiles = _mesh_axes(mesh)
+    all_axes = mesh.axis_names
+    n_gauss = mesh.devices.shape[0]
+    stripe_h = _stripe_dims(height, n_total)
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
     )
@@ -98,8 +119,10 @@ def build_gauss_grads(
         )
         alive = jax.lax.all_gather(alive_shard, axis, axis=0, tiled=True)
         cap = alive.shape[0]
-        shard_size = cap // n_dev
+        shard_size = cap // n_gauss
         idx = jax.lax.axis_index(axis)
+        if tile_axis is not None:
+            idx = idx * n_tiles + jax.lax.axis_index(tile_axis)
 
         def stripe_loss(params, absdummy):
             y0 = (idx * stripe_h).astype(jnp.float32)
@@ -113,7 +136,7 @@ def build_gauss_grads(
                 params, alive, camera, sh_degree, background, absdummy
             )
             full = jax.lax.all_gather(
-                out.image, axis, axis=0, tiled=True
+                out.image, all_axes, axis=0, tiled=True
             )
             ld = loss_dict(
                 full, image, mask, cfg.lambda_ssim,
@@ -133,20 +156,23 @@ def build_gauss_grads(
         # contributions and shard; normalize the redundant-loss factor
         # (see shard.py)
         def rs(g):
+            if tile_axis is not None:
+                g = jax.lax.psum(g, tile_axis)
             return jax.lax.psum_scatter(
                 g, axis, scatter_dimension=0, tiled=True
-            ) / float(n_dev)
+            ) / float(n_total)
 
         grads_shard = jax.tree.map(rs, grads)
         absgrad_shard = rs(absgrad)
-        radii_full = jax.lax.pmax(radii, axis)
+        radii_full = jax.lax.pmax(radii, all_axes)
+        gauss_idx = jax.lax.axis_index(axis)
         radii_shard = jax.lax.dynamic_slice_in_dim(
-            radii_full, idx * shard_size, shard_size
+            radii_full, gauss_idx * shard_size, shard_size
         )
-        ld = jax.tree.map(lambda x: jax.lax.pmean(x, axis), ld)
+        ld = jax.tree.map(lambda x: jax.lax.pmean(x, all_axes), ld)
         if nis is not None:
             # per-chip capacity watchdog channel (see shard.py)
-            ld["isects"] = jax.lax.pmax(nis, axis).astype(jnp.float32)
+            ld["isects"] = jax.lax.pmax(nis, all_axes).astype(jnp.float32)
         return grads_shard, absgrad_shard, ld, radii_full, radii_shard
 
     return per_chip_grads

@@ -244,7 +244,7 @@ def make_striped_isect_counter(
     )
 
     n_dev = mesh.devices.size
-    axis = mesh.axis_names[0]
+    axes = mesh.axis_names  # 1-D (tiles|gauss) or 2-D (gauss, tiles)
 
     @functools.partial(jax.jit, static_argnames=("height", "width"))
     def count(params, alive, w2c, K, *, height, width):
@@ -253,7 +253,10 @@ def make_striped_isect_counter(
         c = params.means.shape[0]
 
         def per_chip(params, alive, w2c, K):
-            idx = jax.lax.axis_index(axis)
+            # row-major linear stripe index over the whole mesh grid
+            idx = jax.lax.axis_index(axes[0])
+            for ax, size in zip(axes[1:], mesh.devices.shape[1:]):
+                idx = idx * size + jax.lax.axis_index(ax)
             y0 = (idx * stripe_h).astype(jnp.float32)
             scales = jnp.exp(params.log_scales)
             opac = jax.nn.sigmoid(params.logit_opacities) * alive.astype(
@@ -278,7 +281,7 @@ def make_striped_isect_counter(
                 ov_capacity=_ov_capacity(c, ov_frac),
             )
             local = jnp.stack([binning.num_isects, binning.num_overflow])
-            return jax.lax.pmax(local, axis)
+            return jax.lax.pmax(local, axes)
 
         fn = shard_map(
             per_chip,

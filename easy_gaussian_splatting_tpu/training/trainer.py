@@ -350,20 +350,32 @@ def train(
     train_step = make_train_step(cfg, render_fn)
 
     # optional multi-chip mesh:
-    #   "tiles:N" — image stripes sharded, params replicated
-    #   "gauss:N" — ZeRO-style: params/optimizer/stats sharded + stripes
+    #   "tiles:N"           — image stripes sharded, params replicated
+    #   "gauss:N"           — ZeRO-style: params/optimizer/stats sharded
+    #   "gauss:G,tiles:T"   — 2-D: storage sharded over G, stripes over G*T
     mesh = None
     mesh_mode = ""
     sharded_steps = {}
     if cfg.mesh_shape:
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import make_mesh, make_mesh2d
 
-        mesh_mode, n_str = cfg.mesh_shape.split(":")
-        if mesh_mode not in ("tiles", "gauss"):
+        parts = dict(
+            p.split(":") for p in cfg.mesh_shape.split(",")
+        )
+        if set(parts) == {"gauss", "tiles"}:
+            mesh_mode = "gauss"
+            mesh = make_mesh2d(int(parts["gauss"]), int(parts["tiles"]))
+        elif set(parts) in ({"tiles"}, {"gauss"}):
+            mesh_mode = next(iter(parts))
+            mesh = make_mesh(
+                int(parts[mesh_mode]),
+                axis=mesh_mode if mesh_mode == "gauss" else "tiles",
+            )
+        else:
             raise ValueError(f"invalid mesh_shape: {cfg.mesh_shape}")
-        mesh = make_mesh(int(n_str))
         logger.info(
-            f"training on a {n_str}-device mesh (mode: {mesh_mode})"
+            f"training on a {mesh.devices.size}-device mesh "
+            f"{dict(zip(mesh.axis_names, mesh.devices.shape))}"
         )
         if mesh_mode == "gauss":
             from ..parallel.gauss_shard import shard_state

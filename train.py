@@ -52,6 +52,15 @@ def main():
     )
     args = parser.parse_args()
 
+    # multi-host: join the process group BEFORE touching any backend
+    # (no-op unless EGS_TPU_COORDINATOR / EGS_TPU_DISTRIBUTED is set;
+    # launch recipe in parallel/distributed.py)
+    from easy_gaussian_splatting_tpu.parallel.distributed import (
+        maybe_initialize_from_env,
+    )
+
+    maybe_initialize_from_env()
+
     cfg = parse_cfg(args)
     cfg.profile_steps = args.profile
     set_global_state(cfg.random_seed, cfg.device)
