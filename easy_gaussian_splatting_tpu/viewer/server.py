@@ -36,31 +36,66 @@ body{margin:0;background:#111;color:#ddd;font-family:sans-serif;overflow:hidden}
 #hud{position:absolute;top:8px;left:8px;background:#000a;padding:8px;
 border-radius:6px;font-size:12px;z-index:2}
 button{margin:2px;font-size:12px}
+input[type=number]{width:52px}
 </style></head><body>
 <img id="img"/><div id="hud">
 <div>drag: orbit | shift-drag: pan | wheel: zoom</div>
 <button onclick="jump(-1)">&lt; cam</button>
 <button onclick="jump(1)">cam &gt;</button>
-<button onclick="rec('add')">add keyframe</button>
-<button onclick="rec('clear')">clear</button>
-<button onclick="rec('export')">export video</button>
+<button onclick="jumpClosest()">closest cam</button>
+<br/>rotate
+<button onclick="rot('yaw',1)">yaw+</button>
+<button onclick="rot('yaw',-1)">yaw-</button>
+<button onclick="rot('pitch',1)">pitch+</button>
+<button onclick="rot('pitch',-1)">pitch-</button>
+<button onclick="rot('roll',1)">roll+</button>
+<button onclick="rot('roll',-1)">roll-</button>
 <br/>fov <input id="fov" type="range" min="0.3" max="2.2" step="0.05"
 value="1.0" style="width:90px"/>
 res <select id="res"><option>480</option><option selected>720</option>
 <option>960</option></select>
-<span id="st"></span></div>
+size <input id="cw" type="number" placeholder="W"/>
+x <input id="ch" type="number" placeholder="H"/>
+<br/>record <button onclick="rec('add')">add keyframe</button>
+<button onclick="rec('clear')">clear</button>
+<button onclick="rec('export')">export video</button>
+dur <input id="dur" type="number" value="10" min="1" step="0.5"/>
+fps <input id="fps" type="number" value="30" min="1"/>
+<div id="st"></div></div>
 <script>
-let yaw=0,pitch=0.3,radius=4,target=[0,0,0],cams=[],ci=-1,busy=false;
+let yaw=0,pitch=0.3,roll=0,radius=4,target=[0,0,0],cams=[],ci=-1,busy=false;
+let anim=null;const ROT=5*Math.PI/180;
 const img=document.getElementById('img'),st=document.getElementById('st');
 fetch('/cameras').then(r=>r.json()).then(j=>{cams=j;
- if(cams.length){const c=cams[0];applyCam(c);}});
-function applyCam(c){ // set orbit params from a dataset camera
- const p=c.position; target=c.target||[0,0,0];
- const d=[p[0]-target[0],p[1]-target[1],p[2]-target[2]];
- radius=Math.hypot(...d); yaw=Math.atan2(d[0],d[2]); pitch=Math.asin(d[1]/radius);}
+ if(cams.length)({yaw,pitch,radius,target}=orbitOf(cams[0]));});
+function orbitOf(c){ // orbit params looking at a dataset camera's target
+ const p=c.position,t=c.target||[0,0,0];
+ const d=[p[0]-t[0],p[1]-t[1],p[2]-t[2]];const r=Math.hypot(...d);
+ return {yaw:Math.atan2(d[0],d[2]),pitch:Math.asin(d[1]/r),radius:r,target:t};}
+function animateTo(o,ms){ // smooth jump: ease orbit params to the target
+ const from={yaw,pitch,roll,radius,target:[...target]},t0=performance.now();
+ anim=()=>{let u=Math.min(1,(performance.now()-t0)/ms);
+  const e=u<.5?2*u*u:1-Math.pow(-2*u+2,2)/2; // easeInOutQuad
+  yaw=from.yaw+(o.yaw-from.yaw)*e;pitch=from.pitch+(o.pitch-from.pitch)*e;
+  roll=from.roll*(1-e); // dataset cameras are roll-free
+  radius=from.radius+(o.radius-from.radius)*e;
+  for(let i=0;i<3;i++)target[i]=from.target[i]+(o.target[i]-from.target[i])*e;
+  if(u>=1)anim=null;};}
 function jump(d){if(!cams.length)return; ci=(ci+d+cams.length)%cams.length;
- applyCam(cams[ci]); st.textContent='cam '+ci;}
-function rec(a){fetch('/record/'+a,{method:'POST',body:JSON.stringify(view())})
+ animateTo(orbitOf(cams[ci]),600); st.textContent='cam '+ci;}
+function eye(){return [target[0]+radius*Math.sin(yaw)*Math.cos(pitch),
+ target[1]+radius*Math.sin(pitch),target[2]+radius*Math.cos(yaw)*Math.cos(pitch)];}
+function jumpClosest(){if(!cams.length)return; const p=eye();let bi=0,bd=1e30;
+ cams.forEach((c,i)=>{const d=Math.hypot(c.position[0]-p[0],
+  c.position[1]-p[1],c.position[2]-p[2]);if(d<bd){bd=d;bi=i;}});
+ ci=bi;animateTo(orbitOf(cams[bi]),600);st.textContent='cam '+bi+' (closest)';}
+function rot(axis,s){if(axis=='yaw')yaw+=s*ROT;
+ else if(axis=='pitch')pitch=Math.max(-1.5,Math.min(1.5,pitch+s*ROT));
+ else roll+=s*ROT;}
+function rec(a){const v=view();
+ v.duration=parseFloat(document.getElementById('dur').value)||10;
+ v.fps=parseFloat(document.getElementById('fps').value)||30;
+ fetch('/record/'+a,{method:'POST',body:JSON.stringify(v)})
  .then(r=>r.json()).then(j=>st.textContent=j.status);}
 let drag=null;
 img.onmousedown=e=>{drag={x:e.clientX,y:e.clientY,shift:e.shiftKey};};
@@ -72,23 +107,30 @@ window.onmousemove=e=>{if(!drag)return;
  else{yaw-=dx*0.005;pitch=Math.max(-1.5,Math.min(1.5,pitch+dy*0.005));}};
 window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001);};
 function view(){
- const h=parseInt(document.getElementById('res').value);
  const ar=window.innerWidth/window.innerHeight;
- return {yaw,pitch,radius,target,
-  fov:parseFloat(document.getElementById('fov').value),
-  width:Math.round(h*ar),height:h};}
+ const cw=parseInt(document.getElementById('cw').value);
+ const ch=parseInt(document.getElementById('ch').value);
+ const h=parseInt(document.getElementById('res').value);
+ const v={yaw,pitch,roll,radius,target,
+  fov:parseFloat(document.getElementById('fov').value)};
+ if(cw>0&&ch>0){ // explicit camera size: server pads to window aspect
+  v.width=cw;v.height=ch;v.pad_aspect=ar;}
+ else{v.width=Math.round(h*ar);v.height=h;}
+ return v;}
 async function loop(){
+ if(anim)anim();
  if(!busy){busy=true;
   try{const r=await fetch('/render',{method:'POST',body:JSON.stringify(view())});
    const b=await r.blob();img.src=URL.createObjectURL(b);}catch(e){}
   busy=false;}
- setTimeout(loop,66);}
+ setTimeout(loop,anim?33:66);}
 loop();
 </script></body></html>"""
 
 
 def _orbit_to_camera(p: dict) -> CameraState:
     yaw, pitch, radius = p["yaw"], p["pitch"], p["radius"]
+    roll = float(p.get("roll", 0.0))
     target = np.asarray(p.get("target", [0, 0, 0]), np.float64)
     width = int(p.get("width", 960))
     height = int(p.get("height", 720))
@@ -105,6 +147,10 @@ def _orbit_to_camera(p: dict) -> CameraState:
         x = np.array([1.0, 0.0, 0.0])
     x = x / np.linalg.norm(x)
     y = np.cross(z, x)
+    if roll:
+        # roll about the view axis: rotate the in-plane basis (x, y)
+        c, s = np.cos(roll), np.sin(roll)
+        x, y = c * x + s * y, -s * x + c * y
     c2w = np.eye(4)
     c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, pos
     w2c = np.linalg.inv(c2w)
@@ -114,6 +160,25 @@ def _orbit_to_camera(p: dict) -> CameraState:
         [[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float64
     )
     return CameraState(w2c, K, width, height)
+
+
+def pad_to_aspect(image: np.ndarray, aspect: float) -> np.ndarray:
+    """Zero-pad an [H, W, 3] image (anchored top-left) so its aspect
+    matches the client window — never crops or rescales.
+
+    Behavioral spec: the reference pads every frame to the connected
+    client's aspect before display
+    (``/root/reference/viewer/viewer_runtime.py:104-116``)."""
+    h, w = image.shape[:2]
+    if w / h < aspect:
+        new_h, new_w = h, int(h * aspect)
+    elif w / h > aspect:
+        new_h, new_w = int(w / aspect), w
+    else:
+        return image
+    out = np.zeros((new_h, new_w, 3), image.dtype)
+    out[:h, :w] = image
+    return out
 
 
 class Viewer:
@@ -195,6 +260,10 @@ class Viewer:
                 if self.path == "/render":
                     cam = _orbit_to_camera(payload)
                     img = viewer._effective_render(cam)
+                    if "pad_aspect" in payload:
+                        img = pad_to_aspect(
+                            np.asarray(img), float(payload["pad_aspect"])
+                        )
                     self._send_jpeg(img)
                 elif self.path == "/record/add":
                     viewer.record.camera_states.append(
@@ -210,6 +279,12 @@ class Viewer:
                     viewer.record.camera_states.clear()
                     self._json({"status": "cleared"})
                 elif self.path == "/record/export":
+                    if "duration" in payload:
+                        viewer.record.duration = max(
+                            1.0, float(payload["duration"])
+                        )
+                    if "fps" in payload:
+                        viewer.record.fps = max(1.0, float(payload["fps"]))
                     path = viewer.record.export_video()
                     self._json(
                         {"status": f"exported {path}" if path else "error"}

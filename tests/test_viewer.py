@@ -158,3 +158,92 @@ class TestServer:
         # rotation is orthonormal
         R = cam.w2c[:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+
+
+class TestParityFeatures:
+    """Reference GUI parity: aspect padding, roll rotation, record
+    duration/fps plumbing (/root/reference/viewer/viewer_runtime.py:
+    104-116, 158-184, and the Export Video folder)."""
+
+    def test_pad_to_aspect(self):
+        from easy_gaussian_splatting_tpu.viewer.server import pad_to_aspect
+
+        img = np.ones((48, 64, 3), np.float32)
+        wide = pad_to_aspect(img, 2.0)  # pad right
+        assert wide.shape == (48, 96, 3)
+        np.testing.assert_array_equal(wide[:, :64], img)
+        assert wide[:, 64:].max() == 0.0
+        tall = pad_to_aspect(img, 1.0)  # pad bottom
+        assert tall.shape == (64, 64, 3)
+        np.testing.assert_array_equal(tall[:48], img)
+        assert tall[48:].max() == 0.0
+        same = pad_to_aspect(img, 64 / 48)
+        assert same is img
+
+    def test_orbit_camera_roll(self):
+        base = dict(
+            yaw=0.5, pitch=0.2, radius=4, target=[0, 0, 0],
+            width=64, height=48,
+        )
+        cam0 = _orbit_to_camera(base)
+        cam90 = _orbit_to_camera({**base, "roll": np.pi / 2})
+        R0 = np.linalg.inv(cam0.w2c)[:3, :3]
+        R90 = np.linalg.inv(cam90.w2c)[:3, :3]
+        # view axis unchanged, orthonormal
+        np.testing.assert_allclose(R0[:, 2], R90[:, 2], atol=1e-9)
+        np.testing.assert_allclose(R90 @ R90.T, np.eye(3), atol=1e-9)
+        # 90deg roll maps the x axis onto the y axis
+        np.testing.assert_allclose(R90[:, 0], R0[:, 1], atol=1e-9)
+
+    def test_render_with_pad_aspect_and_record_params(self, tmp_path):
+        sizes = []
+
+        def render(cam):
+            sizes.append((cam.height, cam.width))
+            return np.zeros((cam.height, cam.width, 3), np.float32)
+
+        viewer = Viewer(
+            render, [], port=19982, video_output_dir=tmp_path
+        )
+        try:
+            body = json.dumps(
+                dict(yaw=0.0, pitch=0.1, radius=4, target=[0, 0, 0],
+                     roll=0.3, width=64, height=48, pad_aspect=2.0)
+            ).encode()
+            req = urllib.request.Request(
+                "http://localhost:19982/render", data=body, method="POST"
+            )
+            from PIL import Image
+            import io
+
+            jpeg = urllib.request.urlopen(req, timeout=10).read()
+            im = Image.open(io.BytesIO(jpeg))
+            assert im.size == (96, 48)  # padded to aspect 2.0
+            assert sizes[-1] == (48, 64)  # rendered at requested size
+
+            # record with explicit duration/fps reaches the manager
+            for _ in range(2):
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        "http://localhost:19982/record/add", data=body,
+                        method="POST",
+                    ),
+                    timeout=10,
+                ).read()
+            out = json.loads(
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        "http://localhost:19982/record/export",
+                        data=json.dumps(
+                            dict(duration=2.0, fps=4)
+                        ).encode(),
+                        method="POST",
+                    ),
+                    timeout=30,
+                ).read()
+            )
+            assert viewer.record.duration == 2.0
+            assert viewer.record.fps == 4.0
+            assert "exported" in out["status"]
+        finally:
+            viewer.stop()
