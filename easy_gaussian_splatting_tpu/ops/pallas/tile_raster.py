@@ -61,10 +61,19 @@ ROW_MX = 7  # in the poly group [0:8]
 ROW_COLOR = 8
 ROW_CONIC = 11
 ROW_MY = 14
-# gradient rows in the backward output [16, I]:
+# gradient columns in the backward output [I, 128] (ROW-major, unlike the
+# feature-major input: the consumer gathers per-intersection rows by an
+# arbitrary permutation, and row gathers from contiguous rows are ~30x
+# cheaper than lane-strided gathers from a feature-major layout; the
+# kernel transposes each [128, CH] chunk in-register before the write
+# DMA). The minor dim is padded 11 -> 128 because Mosaic HBM windows must
+# be 128-lane sized/aligned — and XLA pads the minor dim of an [I, 16]
+# f32 buffer to 128 lanes physically anyway, so the consumer-side cost is
+# identical:
 # 0 v_mx, 1 v_my, 2 v_a, 3 v_b, 4 v_c, 5 v_opac, 6-8 v_rgb, 9 v_absx,
-# 10 v_absy, 11-15 pad
+# 10 v_absy, 11-127 pad
 NUM_GRAD_FEATURES = 16
+NUM_GRAD_LANES = 128
 
 
 def _shift_lanes(x: jnp.ndarray, shift: int, fill: float) -> jnp.ndarray:
@@ -370,7 +379,7 @@ def _bwd_kernel(
     gt_ref,  # VMEM block [1, P, 1]
     tfin_ref,  # VMEM block [1, P, 1]
     last_ref,  # VMEM block [1, P, 1] int32
-    dfeats_ref,  # HBM out [16, I_pad]
+    dfeats_ref,  # HBM out [I_pad, 128] row-major
     tstate_ref,  # scratch VMEM [P, 1]
     sstate_ref,  # scratch VMEM [P, 1]
     buf_ref,  # scratch VMEM [2, 16, CHUNK] (double-buffered)
@@ -416,7 +425,7 @@ def _bwd_kernel(
         base = astart + k * BWD_CHUNK
         return pltpu.make_async_copy(
             dbuf_ref.at[slot],
-            dfeats_ref.at[:, pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK)],
+            dfeats_ref.at[pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK), :],
             sem_out.at[slot],
         )
 
@@ -436,7 +445,7 @@ def _bwd_kernel(
         def _():
             pltpu.make_async_copy(
                 dfeats_ref.at[
-                    :, pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK)
+                    pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK), :
                 ],
                 rbuf_ref,
                 sem_rd,
@@ -515,15 +524,21 @@ def _bwd_kernel(
         v_c = 0.5 * m1 - my * m4 + 0.5 * my * my * m5
         v_b = m2 - my * m3 - mx * m4 + mx * my * m5
 
-        zeros = jnp.zeros_like(v_mx)
+        pad = jnp.zeros(
+            (NUM_GRAD_LANES - 11, v_mx.shape[1]), jnp.float32
+        )
         new_out = jnp.concatenate(
             [
                 v_mx, v_my, v_a, v_b, v_c, v_opac,
                 _row(v_color, 0), _row(v_color, 1), _row(v_color, 2),
-                v_absx, v_absy, zeros, zeros, zeros, zeros, zeros,
+                v_absx, v_absy, pad,
             ],
             axis=0,
-        )  # [16, CH]
+        )  # [128, CH]
+        # transpose to row-major [CH, 128] before the write so the output
+        # array's per-intersection rows are contiguous (the consumer's
+        # permutation gather reads rows, not lanes)
+        new_out_t = jnp.swapaxes(new_out, 0, 1)
 
         # the slot's previous write (chunk k+2) must land before reuse
         @pl.when(kk >= 2)
@@ -534,17 +549,20 @@ def _bwd_kernel(
         def _():
             pltpu.make_async_copy(
                 dfeats_ref.at[
-                    :, pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK)
+                    pl.ds(pl.multiple_of(base, BWD_CHUNK), BWD_CHUNK), :
                 ],
                 rbuf_ref,
                 sem_rd,
             ).wait()
-            in_range = (gpos >= start) & (gpos < end)  # [1, CH]
-            dbuf_ref[slot] = jnp.where(in_range, new_out, rbuf_ref[...])
+            row_pos = base + jax.lax.broadcasted_iota(
+                jnp.int32, (BWD_CHUNK, 1), 0
+            )
+            in_range = (row_pos >= start) & (row_pos < end)  # [CH, 1]
+            dbuf_ref[slot] = jnp.where(in_range, new_out_t, rbuf_ref[...])
 
         @pl.when(jnp.logical_not(boundary))
         def _():
-            dbuf_ref[slot] = new_out
+            dbuf_ref[slot] = new_out_t
 
         out_dma(k, slot).start()
 
@@ -578,13 +596,14 @@ def tiled_backward(
     last_tiles: jnp.ndarray,  # [T, P] int32
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns per-intersection gradient rows [16, I_pad] (layout above).
-    Lanes outside every tile's range keep zeros (merge-writes + a zero-
-    initialized aliased output)."""
+    """Returns per-intersection gradient rows [I_pad, 128] ROW-major
+    (column layout above; lanes 11+ are padding). Rows outside every
+    tile's range keep zeros (merge-writes + a zero-initialized aliased
+    output)."""
     num_tiles = gimg_tiles.shape[0]
     p = basis.shape[0]
     i_pad = feats.shape[1]
-    zeros_init = jnp.zeros((NUM_GRAD_FEATURES, i_pad), jnp.float32)
+    zeros_init = jnp.zeros((i_pad, NUM_GRAD_LANES), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
@@ -602,8 +621,8 @@ def tiled_backward(
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((2, NUM_FEATURES, BWD_CHUNK), jnp.float32),
-            pltpu.VMEM((2, NUM_GRAD_FEATURES, BWD_CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_GRAD_FEATURES, BWD_CHUNK), jnp.float32),
+            pltpu.VMEM((2, BWD_CHUNK, NUM_GRAD_LANES), jnp.float32),
+            pltpu.VMEM((BWD_CHUNK, NUM_GRAD_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -622,7 +641,7 @@ def tiled_backward(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((NUM_GRAD_FEATURES, i_pad), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, NUM_GRAD_LANES), jnp.float32),
         ],
         # alias the zeros input to the output so untouched lanes read as 0
         input_output_aliases={7: 0},

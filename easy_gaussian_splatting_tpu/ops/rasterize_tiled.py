@@ -579,7 +579,7 @@ def _core_bwd(
     dfeats = tiled_backward(
         feats, binning.tile_offsets, basis, gimg_t, gt_t, tfin_t, last_t,
         interpret=interpret,
-    )  # [16, I_pad]; lanes outside every tile's range are zero
+    )  # [I_pad, 128] ROW-major; rows outside every tile's range are zero
 
     c = radii.shape[0]
     icap = binning.isect_flat.shape[0]
@@ -605,7 +605,7 @@ def _core_bwd(
         num_keys=1,
         is_stable=False,
     )
-    rows = jnp.swapaxes(dfeats, 0, 1)[:icap, :12][p]  # [I, 12] orig-grouped
+    rows = dfeats[:icap, :12][p]  # [I, 12] orig-grouped (cheap row gather)
     rt = jnp.swapaxes(rows, 0, 1)  # [12, I] feature-major
     g = flat_asc // m  # [I] group id (dead lanes -> c)
     k = 1
