@@ -71,7 +71,7 @@ def main():
     )
     cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
     cfg.ov_frac = round(
-        max(0.125, min(1.0, n_ov * 2.0 / model.capacity)), 3
+        max(0.01, min(1.0, n_ov * 2.0 / model.capacity)), 3
     )
     step_fn = make_train_step(cfg, get_render_fn(cfg))
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))

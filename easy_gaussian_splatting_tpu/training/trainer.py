@@ -448,8 +448,11 @@ def train(
             )
         )
         want = round(max(0.25, n * 1.3 / loop.model.capacity), 3)
+        # the overflow population is pure sort-domain/fusion overhead when
+        # unused (ov_capacity keeps a 128-slot floor regardless), so the
+        # autotune may shrink it well below the config default
         want_ov = round(
-            max(cfg.ov_frac, min(1.0, n_ov * 2.0 / loop.model.capacity)), 3
+            max(0.01, min(1.0, n_ov * 2.0 / loop.model.capacity)), 3
         )
         if want != cfg.isect_mult or want_ov != cfg.ov_frac:
             logger.info(

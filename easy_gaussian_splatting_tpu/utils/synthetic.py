@@ -21,16 +21,43 @@ from typing import Tuple
 import numpy as np
 
 
-def make_gt_gaussians(n: int = 300, seed: int = 0):
-    """A colorful, fittable ground-truth Gaussian scene inside [-1, 1]^3."""
+SH_C0 = 0.28209479177387814
+
+
+def make_gt_gaussians(n: int = 300, seed: int = 0, sh_degree: int = 0):
+    """A colorful, fittable ground-truth Gaussian scene inside [-1, 1]^3.
+
+    Colors are SH coefficients [n, (sh_degree+1)^2, 3]: the DC term encodes
+    a base albedo; ``sh_degree >= 1`` adds random higher-order coefficients
+    so the GT is genuinely view-dependent (the regime the reference's
+    nerf_synthetic/tandt scenes train in). Scales shrink with n^(1/3) so
+    dense scenes stay resolvable rather than merging into mush."""
     rng = np.random.default_rng(seed)
     means = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
-    scales = rng.uniform(0.04, 0.14, size=(n, 3)).astype(np.float32)
+    f = min(1.0, (300.0 / max(n, 1)) ** (1.0 / 3.0))
+    scales = (
+        rng.uniform(0.04, 0.14, size=(n, 3)) * f
+    ).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    colors = rng.uniform(0.05, 0.95, size=(n, 3)).astype(np.float32)
+    base = rng.uniform(0.05, 0.95, size=(n, 1, 3))
+    k = (sh_degree + 1) ** 2
+    shs = np.zeros((n, k, 3), np.float32)
+    shs[:, :1] = (base - 0.5) / SH_C0
+    if k > 1:
+        # decaying amplitude per degree keeps blended colors mostly in
+        # [0, 1] while making every view distinct
+        amp = np.concatenate(
+            [
+                np.full(2 * d + 1, 0.25 / (2.0 ** (d - 1)))
+                for d in range(1, sh_degree + 1)
+            ]
+        )
+        shs[:, 1:] = (
+            rng.normal(size=(n, k - 1, 3)) * amp[None, :, None]
+        ).astype(np.float32)
     opac = rng.uniform(0.5, 0.95, size=(n,)).astype(np.float32)
-    return means, scales, quats, colors, opac
+    return means, scales, quats, shs, opac
 
 
 def _lookat_w2c(pos: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -75,13 +102,24 @@ def _gt_render_fn(width: int, height: int, white_background: bool):
     from ..ops.rasterize_ref import rasterize
 
     @jax.jit
-    def run(means, scales, quats, colors, opac, w2c, fx):
+    def run(means, scales, quats, shs, opac, w2c, fx):
+        from ..ops.sh import eval_sh_color
+
         intr = CameraIntrinsics(
             fx, fx, jnp.float32(width / 2), jnp.float32(height / 2),
             width, height,
         )
         proj = project_gaussians(means, quats, scales, w2c, intr)
         opac_eff = opac * (proj.radii > 0.0)
+        # view-dependent GT color: SH along the camera->gaussian direction
+        k = shs.shape[1]
+        sh_degree = {1: 0, 4: 1, 9: 2, 16: 3}[k]
+        cam_pos = -w2c[:3, :3].T @ w2c[:3, 3]
+        dirs = means - cam_pos[None, :]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8
+        )
+        colors = eval_sh_color(sh_degree, shs, dirs)
         bg = jnp.full(
             (3,), 1.0 if white_background else 0.0, jnp.float32
         )
@@ -112,6 +150,21 @@ def render_gt(
     return (np.asarray(img) * 255.0 + 0.5).astype(np.uint8)
 
 
+def _write_mask(path: Path, size: int, seed: int) -> None:
+    """A filled disk of 'ignore' pixels at a seeded position — exercises
+    the mask-compositing loss exactly like the reference's
+    ``train_masks`` datasets (``/root/reference/scene/data_class.py:
+    204-212``, loss trick ``model/gaussian.py:428-429``)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(0.25, 0.75, size=2) * size
+    r = 0.12 * size
+    yy, xx = np.mgrid[0:size, 0:size]
+    disk = ((xx - c[0]) ** 2 + (yy - c[1]) ** 2) < r * r
+    Image.fromarray((disk * 255).astype(np.uint8)).save(path)
+
+
 def generate_blender_scene(
     out_dir: Path,
     n_train: int = 24,
@@ -120,23 +173,32 @@ def generate_blender_scene(
     n_gaussians: int = 300,
     white_background: bool = True,
     seed: int = 0,
+    sh_degree: int = 0,
+    with_masks: bool = False,
 ) -> Path:
     """Write a blender-format dataset rendered from a GT Gaussian scene."""
     from PIL import Image
 
     out_dir = Path(out_dir)
-    gt = make_gt_gaussians(n_gaussians, seed)
+    gt = make_gt_gaussians(n_gaussians, seed, sh_degree=sh_degree)
     fov_x = 0.9
     fx = image_size / (2.0 * np.tan(fov_x / 2.0))
 
     for split, n, cam_seed in [("train", n_train, 1), ("test", n_test, 2)]:
         (out_dir / split).mkdir(parents=True, exist_ok=True)
+        if with_masks:
+            (out_dir / f"{split}_masks").mkdir(parents=True, exist_ok=True)
         w2cs = ring_cameras(n, seed=cam_seed)
         frames = []
         for i, w2c in enumerate(w2cs):
             img = render_gt(gt, w2c, image_size, image_size, fx,
                             white_background)
             Image.fromarray(img).save(out_dir / split / f"r_{i}.png")
+            if with_masks:
+                _write_mask(
+                    out_dir / f"{split}_masks" / f"r_{i}.png",
+                    image_size, seed=cam_seed * 1000 + i,
+                )
             c2w = np.linalg.inv(w2c)
             c2w_gl = c2w.copy()
             c2w_gl[:3, 1:3] *= -1  # OpenCV -> OpenGL (the loader flips back)
@@ -158,6 +220,8 @@ def generate_colmap_scene(
     n_gaussians: int = 300,
     n_points: int = 2000,
     seed: int = 0,
+    sh_degree: int = 0,
+    with_masks: bool = False,
 ) -> Path:
     """Write a COLMAP-format dataset (binary sparse model + images)
     rendered from a GT Gaussian scene; the init point cloud samples the GT
@@ -169,8 +233,9 @@ def generate_colmap_scene(
     sparse.mkdir(parents=True, exist_ok=True)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
 
-    gt = make_gt_gaussians(n_gaussians, seed)
-    means, scales, quats, colors, opac = gt
+    gt = make_gt_gaussians(n_gaussians, seed, sh_degree=sh_degree)
+    means, scales, quats, shs, opac = gt
+    colors = np.clip(shs[:, 0] * SH_C0 + 0.5, 0.0, 1.0)  # albedo for SfM
     rng = np.random.default_rng(seed + 7)
     fx = fy = image_size * 1.1
     cx = cy = image_size / 2.0
@@ -193,6 +258,12 @@ def generate_colmap_scene(
             f.write(struct.pack("<Q", 0))
             img = render_gt(gt, w2c, image_size, image_size, fx, False)
             Image.fromarray(img).save(out_dir / "images" / f"im_{i:04d}.png")
+            if with_masks:
+                (out_dir / "masks").mkdir(exist_ok=True)
+                _write_mask(
+                    out_dir / "masks" / f"im_{i:04d}.png", image_size,
+                    seed=9000 + i,
+                )
 
     # init point cloud: GT centers + jitter (SfM-like)
     idx = rng.integers(0, n_gaussians, size=n_points)

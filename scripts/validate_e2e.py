@@ -30,6 +30,23 @@ def main():
     parser.add_argument("--format", default="blender")
     parser.add_argument("--out", default="")
     parser.add_argument("--init-points", type=int, default=4000)
+    parser.add_argument(
+        "--gt-gaussians", type=int, default=300,
+        help="ground-truth scene population (hard regime: >=10000)",
+    )
+    parser.add_argument(
+        "--gt-sh-degree", type=int, default=0,
+        help="GT view-dependence: SH degree of the generated scene",
+    )
+    parser.add_argument(
+        "--masks", action="store_true",
+        help="generate per-frame ignore masks (mask-compositing loss)",
+    )
+    parser.add_argument("--cameras", type=int, default=24)
+    parser.add_argument(
+        "--min-psnr", type=float, default=22.0,
+        help="validation gate (lower for hard scenes / short runs)",
+    )
     args = parser.parse_args()
 
     from easy_gaussian_splatting_tpu.training.config import config_from_dict
@@ -47,17 +64,28 @@ def main():
 
     print(f"generating {args.format} scene at {data_dir} ...")
     if args.format == "blender":
-        generate_blender_scene(data_dir, image_size=args.size)
+        generate_blender_scene(
+            data_dir, image_size=args.size, n_train=args.cameras,
+            n_test=max(2, args.cameras // 4),
+            n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
+            with_masks=args.masks,
+        )
         fmt_keys = dict(
             data_format="blender", white_background=True, eval_in_test=True,
             blender_init_points=args.init_points,
         )
     else:
-        generate_colmap_scene(data_dir, image_size=args.size)
+        generate_colmap_scene(
+            data_dir, image_size=args.size, n_images=args.cameras,
+            n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
+            with_masks=args.masks,
+        )
         fmt_keys = dict(
             data_format="colmap", white_background=False,
             eval_split_ratio=0.2,
         )
+    if args.masks:
+        fmt_keys["use_masks"] = True
 
     iters = args.iters
     cfg = config_from_dict(
@@ -121,8 +149,8 @@ def main():
         f"RESULT: psnr={m['psnr']:.2f} ssim={m['ssim']:.4f} "
         f"fps={m['fps']:.2f} gaussians={n_alive}"
     )
-    if m["psnr"] < 22.0:
-        print("VALIDATION FAILED: psnr below 22")
+    if m["psnr"] < args.min_psnr:
+        print(f"VALIDATION FAILED: psnr below {args.min_psnr}")
         sys.exit(1)
     print("VALIDATION OK")
 
