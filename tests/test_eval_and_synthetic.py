@@ -108,3 +108,64 @@ class TestSyntheticScenes:
         np.testing.assert_allclose(
             frames[0].w2c, w2cs[0].astype(np.float32), atol=1e-5
         )
+
+
+class TestHardSceneGenerator:
+    """Round-2 hard-regime knobs: view-dependent GT colors (SH degree >= 1)
+    and per-frame ignore masks (the reference's train_masks datasets,
+    /root/reference/scene/data_class.py:204-212)."""
+
+    def test_gt_sh_shapes_and_scale_shrink(self):
+        m, s, q, shs, o = make_gt_gaussians(50, 0, sh_degree=2)
+        assert shs.shape == (50, 9, 3)
+        m2, s2, _, shs0, _ = make_gt_gaussians(5000, 0, sh_degree=0)
+        assert shs0.shape == (5000, 1, 3)
+        # dense scenes shrink their scales (n^(1/3) law) to stay resolvable
+        assert s2.mean() < s.mean()
+
+    def test_sh_scene_is_view_dependent(self):
+        from easy_gaussian_splatting_tpu.ops.sh import eval_sh_color
+
+        _, _, _, shs, _ = make_gt_gaussians(40, 0, sh_degree=2)
+        d1 = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (40, 1))
+        d2 = jnp.tile(jnp.array([[1.0, 0.0, 0.0]], jnp.float32), (40, 1))
+        c1 = np.asarray(eval_sh_color(2, jnp.asarray(shs), d1))
+        c2 = np.asarray(eval_sh_color(2, jnp.asarray(shs), d2))
+        # degree-2 coefficients: every gaussian's color varies with the
+        # view direction by a visible margin, and stays mostly in-gamut
+        assert np.abs(c1 - c2).max() > 0.05
+        assert (c1 > -0.2).all() and (c1 < 1.2).all()
+        # degree-0: identical from every direction
+        _, _, _, shs0, _ = make_gt_gaussians(40, 0, sh_degree=0)
+        c1 = np.asarray(eval_sh_color(0, jnp.asarray(shs0), d1))
+        c2 = np.asarray(eval_sh_color(0, jnp.asarray(shs0), d2))
+        np.testing.assert_allclose(c1, c2)
+
+    def test_blender_masks_written_and_loaded(self, tmp_path):
+        from easy_gaussian_splatting_tpu.scene.blender import (
+            load_blender_data,
+        )
+
+        generate_blender_scene(
+            tmp_path, n_train=2, n_test=2, image_size=32, n_gaussians=10,
+            with_masks=True, sh_degree=1,
+        )
+        assert (tmp_path / "train_masks" / "r_0.png").exists()
+        assert (tmp_path / "test_masks" / "r_1.png").exists()
+        np.random.seed(0)
+        frames, pc, train_idx, eval_idx = load_blender_data(
+            str(tmp_path), True, 2, eval=True, eval_in_val=False,
+            eval_in_test=True, white_background=True, init_points=50,
+        )
+        d = frames[train_idx[0]].load()
+        mask = d["mask"]
+        assert mask.shape == (32, 32)
+        assert set(np.unique(mask)).issubset({0.0, 1.0})
+        assert 0.0 < mask.mean() < 1.0  # the disk is present, not empty
+
+    def test_colmap_masks_written(self, tmp_path):
+        generate_colmap_scene(
+            tmp_path, n_images=3, image_size=32, n_gaussians=10,
+            n_points=50, with_masks=True, sh_degree=1,
+        )
+        assert (tmp_path / "masks" / "im_0000.png").exists()
