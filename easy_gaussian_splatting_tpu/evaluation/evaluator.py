@@ -69,6 +69,7 @@ class Evaluator:
         sh_degree: int,
         background: jnp.ndarray,
         num_workers: int = 3,
+        cache=None,
     ) -> Dict[str, Any]:
         from ..scene.scene import prefetch_frames
 
@@ -88,9 +89,15 @@ class Evaluator:
         lpips_pairs = []
         renders = []
         t0 = None
-        for i, data in enumerate(
-            prefetch_frames(scene, split, num_workers=num_workers)
-        ):
+        if cache is not None:
+            # device-resident split: per-frame fetch is a jitted on-device
+            # slice (no host->device image transfers inside the FPS window)
+            frames_iter = (cache.get(i) for i in range(n))
+        else:
+            frames_iter = prefetch_frames(
+                scene, split, num_workers=num_workers
+            )
+        for i, data in enumerate(frames_iter):
             run = self._step_fn(data["height"], data["width"], sh_degree)
             w2c = jnp.asarray(data["w2c"])
             K = jnp.asarray(data["K"])
@@ -114,7 +121,7 @@ class Evaluator:
             ssims.append(m_ssim)
             lpips_pairs.append((comp, image))
             if i in render_indexes:
-                renders.append((data["image"], render_img))
+                renders.append((np.asarray(data["image"]), render_img))
 
         if psnrs:
             vals = np.asarray(jnp.stack(psnrs + ssims))  # one fused fetch

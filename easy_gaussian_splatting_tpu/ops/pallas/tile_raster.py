@@ -20,9 +20,11 @@ lanes), and DMA windows must be 128-lane sized and 128-aligned):
   is not generally available in Mosaic);
 - the backward walks chunks in reverse, recovers transmittance by division
   (alpha clamped at 0.999 keeps 1-alpha >= 1e-3), reduces over pixels on
-  the MXU, and read-merge-writes its aligned output windows so boundary
-  lanes shared with neighboring tiles are preserved (grid programs run
-  sequentially in ascending tile order, making this race-free).
+  the MXU, transposes each gradient chunk in-register and writes a
+  ROW-major [I, 128] output (the consumer's permutation gather reads
+  contiguous rows), read-merge-writing aligned boundary windows shared
+  with neighboring tiles (grid programs run sequentially in ascending
+  tile order, making this race-free).
 """
 
 from __future__ import annotations

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import random
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional
@@ -555,6 +556,26 @@ def train(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
     )
 
+    # device-resident dataset cache: one upload at startup, per-step frame
+    # fetch becomes a jitted on-device slice (streamed per-step transfers
+    # serialize multi-MB uploads with every step — dominant on remote-
+    # device links). Disabled under a mesh (stripe padding needs host
+    # arrays) and whenever the split exceeds the HBM budget.
+    frame_cache = None
+    eval_cache = None
+    if cfg.data_device_cache and mesh is None:
+        from ..scene.device_cache import build_cache
+
+        frame_cache = build_cache(
+            scene, "train", cfg.data_device_cache_mb,
+            num_workers=max(1, cfg.dataloader_workers),
+        )
+        if scene.nbr_data("eval") > 0 and frame_cache is not None:
+            eval_cache = build_cache(
+                scene, "eval", cfg.data_device_cache_mb,
+                num_workers=max(1, cfg.dataloader_workers),
+            )
+
     t_start = time.time()
     last_loss = float("nan")
     profiler_active = False
@@ -597,9 +618,15 @@ def train(
             buckets[name] += now - t_prev
             t_prev = now
 
-    for data in prefetch_frames(
-        scene, "train", shuffle=True, num_workers=cfg.dataloader_workers
-    ):
+    if frame_cache is not None:
+        shuffled = list(range(scene.nbr_data("train")))
+        random.shuffle(shuffled)
+        data_iter = (frame_cache.get(i) for i in shuffled)
+    else:
+        data_iter = prefetch_frames(
+            scene, "train", shuffle=True, num_workers=cfg.dataloader_workers
+        )
+    for data in data_iter:
         _bucket("data")
         loop.step += 1
         step = loop.step
@@ -707,6 +734,7 @@ def train(
                 loop.active_sh_degree,
                 background,
                 num_workers=cfg.dataloader_workers,
+                cache=eval_cache,
             )
             for k, v in metrics.items():
                 if "render" in k:

@@ -66,9 +66,16 @@ def eval(training_output_path: str, iterations: Optional[int] = None):
         if scene.nbr_data(split) == 0:
             logger.info(f"{set_name} is empty, skip evaluation")
             continue
+        cache = None
+        if cfg.data_device_cache:
+            from easy_gaussian_splatting_tpu.scene.device_cache import (
+                build_cache,
+            )
+
+            cache = build_cache(scene, split, cfg.data_device_cache_mb)
         m = evaluator.evaluate(
             scene, split, state, active_sh_degree, background,
-            num_workers=cfg.dataloader_workers,
+            num_workers=cfg.dataloader_workers, cache=cache,
         )
         lpips_tag = (
             "lpips" if evaluator.lpips.kind == "vgg" else "lpips(proxy)"

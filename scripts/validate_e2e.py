@@ -145,9 +145,11 @@ def main():
         scene, "eval", loop.model, loop.active_sh_degree, background
     )
     n_alive = int(loop.model.num_alive())
+    lpips_tag = "lpips" if evaluator.lpips.kind == "vgg" else "lpips(proxy)"
     print(
         f"RESULT: psnr={m['psnr']:.2f} ssim={m['ssim']:.4f} "
-        f"fps={m['fps']:.2f} gaussians={n_alive}"
+        f"{lpips_tag}={m['lpips']:.4f} fps={m['fps']:.2f} "
+        f"gaussians={n_alive}"
     )
     if m["psnr"] < args.min_psnr:
         print(f"VALIDATION FAILED: psnr below {args.min_psnr}")

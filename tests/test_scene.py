@@ -337,3 +337,61 @@ class TestScene:
                 eval_in_test=True, use_masks=False, mask_expand_pixels=0,
                 white_background=False,
             )
+
+
+class TestDeviceFrameCache:
+    """Device-resident dataset cache (scene/device_cache.py): one upload,
+    jitted per-step slicing, exact round-trip vs Scene.get_data."""
+
+    def _scene(self, tmp_path, iters=7):
+        from easy_gaussian_splatting_tpu.scene.scene import Scene
+        from easy_gaussian_splatting_tpu.utils.synthetic import (
+            generate_blender_scene,
+        )
+
+        generate_blender_scene(
+            tmp_path, n_train=3, n_test=2, image_size=16, n_gaussians=10,
+            with_masks=True,
+        )
+        np.random.seed(0)
+        return Scene(
+            str(tmp_path), "blender", None, iters, True, 0.2, False, True,
+            True, 1, True, blender_init_points=50,
+        )
+
+    def test_roundtrip_matches_get_data(self, tmp_path):
+        from easy_gaussian_splatting_tpu.scene.device_cache import (
+            build_cache,
+        )
+
+        scene = self._scene(tmp_path)
+        cache = build_cache(scene, "train", budget_mb=64)
+        assert cache is not None
+        # index tiling: 7 iterations over 3 unique frames share 3 copies
+        for i in (0, 2, 5):  # 5 repeats frame 2
+            got = cache.get(i)
+            ref = scene.get_data("train", i)
+            for k in ("image", "mask", "w2c", "K"):
+                np.testing.assert_array_equal(np.asarray(got[k]), ref[k])
+            assert (got["height"], got["width"]) == (
+                ref["image"].shape[0], ref["image"].shape[1]
+            )
+
+    def test_budget_fallback(self, tmp_path):
+        from easy_gaussian_splatting_tpu.scene.device_cache import (
+            build_cache,
+        )
+
+        scene = self._scene(tmp_path)
+        assert build_cache(scene, "train", budget_mb=0) is None
+
+    def test_eval_split(self, tmp_path):
+        from easy_gaussian_splatting_tpu.scene.device_cache import (
+            build_cache,
+        )
+
+        scene = self._scene(tmp_path)
+        cache = build_cache(scene, "eval", budget_mb=64)
+        ref = scene.get_data("eval", 1)
+        got = cache.get(1)
+        np.testing.assert_array_equal(np.asarray(got["image"]), ref["image"])
