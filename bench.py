@@ -57,22 +57,31 @@ def main():
     )
     w2c = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
 
-    # size the intersection capacity like the trainer's autotune does
+    # size the intersection capacity + binning budgets like the trainer's
+    # autotune does
     from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+        BUDGET_CANDIDATES,
+        _ov_capacity,
         make_isect_counter,
     )
 
     counter = make_isect_counter(cfg.tile_size, cfg.max_tiles, cfg.max_tiles)
-    n_isect, n_ov = (
-        int(v)
-        for v in np.asarray(
-            counter(model.params, model.alive, w2c, K, height=h, width=w)
-        )
+    vals = np.asarray(
+        counter(model.params, model.alive, w2c, K, height=h, width=w)
     )
+    n_isect = int(vals[0])
     cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
-    cfg.ov_frac = round(
-        max(0.01, min(1.0, n_ov * 2.0 / model.capacity)), 3
-    )
+    m_cells = cfg.max_tiles * cfg.max_tiles
+    best_dom = None
+    for bb, need in zip(BUDGET_CANDIDATES, vals[2:]):
+        if bb >= m_cells:
+            continue
+        ovf = round(max(0.01, min(1.0, int(need) * 2.0 / model.capacity)), 3)
+        dom = model.capacity * bb + m_cells * _ov_capacity(
+            model.capacity, ovf
+        )
+        if best_dom is None or dom < best_dom:
+            cfg.small_budget, cfg.ov_frac, best_dom = bb, ovf, dom
     step_fn = make_train_step(cfg, get_render_fn(cfg))
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mask = jnp.zeros((h, w), jnp.float32)

@@ -88,8 +88,10 @@ class Binning(NamedTuple):
     tile_offsets: jnp.ndarray  # [T+1]
     num_isects: jnp.ndarray  # [] int32
     counts: jnp.ndarray  # [C] live duplicates per gaussian
-    num_overflow: jnp.ndarray  # [] int32: gaussians needing > SMALL_BUDGET
+    num_overflow: jnp.ndarray  # [] int32: gaussians needing > small_budget
     # cells (should stay < the overflow capacity; watchdog grows ov_frac)
+    n_gt: jnp.ndarray = None  # [len(BUDGET_CANDIDATES)] int32: gaussians
+    # whose window exceeds each candidate budget (drives budget autotune)
 
 
 def binning_extents(
@@ -125,7 +127,13 @@ def binning_extents(
     return jnp.stack([rx, ry], axis=1)
 
 
-SMALL_BUDGET = 9  # cells covered by the small population (3x3 windows)
+# default cells covered by the small population (3x3 windows). The sort
+# domain is C*small_budget + M*ov_capacity, and mid-training most
+# gaussians cover 1-4 tiles, so the trainer AUTOTUNES the budget from the
+# first frame's window-size histogram (see the counter's n_gt outputs) —
+# a tighter budget at the same coverage halves the dominant sort cost.
+SMALL_BUDGET = 9
+BUDGET_CANDIDATES = (2, 4, 9)
 
 
 def bin_gaussians(
@@ -138,6 +146,7 @@ def bin_gaussians(
     conics: jnp.ndarray | None = None,  # [C, 3] enables the exact tile test
     opacities: jnp.ndarray | None = None,  # [C] required with conics
     ov_capacity: int | None = None,  # overflow-population slots (None: C//8)
+    small_budget: int = SMALL_BUDGET,  # small-population cells per gaussian
 ) -> Binning:
     c = means2d.shape[0]
     ts = geom.tile_size
@@ -247,37 +256,44 @@ def bin_gaussians(
 
     if ov_capacity is None:
         ov_capacity = min(c, max(c // 8, 128))
-    flag = valid_s & (count > SMALL_BUDGET)
+    b_small = max(1, min(small_budget, m))
+    flag = valid_s & (count > b_small)
     num_overflow = jnp.sum(flag, dtype=jnp.int32)
+    n_gt = jnp.stack(
+        [
+            jnp.sum(valid_s & (count > bb), dtype=jnp.int32)
+            for bb in BUDGET_CANDIDATES
+        ]
+    )
 
     rank_bits = max(1, (c - 1).bit_length())
     tile_bits = num_tiles.bit_length()  # ids 0..num_tiles (incl. sentinel)
-    two_pop = m > SMALL_BUDGET and ov_capacity > 0 and (
+    two_pop = m > b_small and ov_capacity > 0 and (
         rank_bits + tile_bits <= 31
     )
     if two_pop:
         # TWO-POPULATION sort domain. Measured window-size distribution:
-        # w*h <= SMALL_BUDGET covers ~99% of gaussians mid-training, yet
-        # the dense grid pays C*M sort entries. Split:
-        #   A: [C, SMALL_BUDGET] — every gaussian's first cells (covers
+        # w*h <= b_small covers the vast majority of gaussians
+        # mid-training, yet the dense grid pays C*M sort entries. Split:
+        #   A: [C, b_small] — every gaussian's first cells (covers
         #      small windows exactly);
         #   B: [ov_capacity, M] — big-window gaussians compacted by a
         #      cheap [C] sort, carrying ALL their cells.
         # Flats stay orig*M+j in BOTH populations, so the backward's
         # flat-sorted grouping is unchanged. Big gaussians beyond
-        # ov_capacity fall back to their first SMALL_BUDGET cells (a
+        # ov_capacity fall back to their first b_small cells (a
         # bounded approximation; the trainer watches num_overflow and
         # grows ov_frac like the intersection watchdog).
         ov_rank = jnp.cumsum(flag.astype(jnp.int32)) - flag.astype(jnp.int32)
         in_ov = flag & (ov_rank < ov_capacity)
-        live_adj = live & (in_ov[:, None] | (j_grid < SMALL_BUDGET))
+        live_adj = live & (in_ov[:, None] | (j_grid < b_small))
         counts = jnp.sum(live_adj, axis=1, dtype=jnp.int32)
 
-        live_a = live_adj[:, :SMALL_BUDGET] & jnp.logical_not(in_ov)[:, None]
+        live_a = live_adj[:, :b_small] & jnp.logical_not(in_ov)[:, None]
         keys_a = jnp.where(
-            live_a, tile[:, :SMALL_BUDGET], num_tiles
+            live_a, tile[:, :b_small], num_tiles
         ).astype(jnp.int32)
-        flats_a = jnp.where(live_a, base_flat[:, :SMALL_BUDGET], c * m)
+        flats_a = jnp.where(live_a, base_flat[:, :b_small], c * m)
 
         arange_c = jnp.arange(c, dtype=jnp.int32)
         ov_id = jax.lax.sort(jnp.where(in_ov, arange_c, c))[:ov_capacity]
@@ -343,6 +359,7 @@ def bin_gaussians(
         num_isects=tile_offsets[num_tiles],
         counts=counts,
         num_overflow=num_overflow,
+        n_gt=n_gt,
     )
 
 
@@ -470,6 +487,7 @@ def _prepare(
     means2d, conics, colors, opacities, radii, depths,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
     ov_frac: float = 0.125,
+    small_budget: int = SMALL_BUDGET,
 ):
     from .pallas.tile_raster import CHUNK
 
@@ -479,6 +497,7 @@ def _prepare(
         means2d, extents, depths, geom, max_tiles_w, max_tiles_h,
         conics=conics, opacities=opacities,
         ov_capacity=_ov_capacity(means2d.shape[0], ov_frac),
+        small_budget=small_budget,
     )
     # the two-population sort domain can be smaller than a large
     # requested cap; clamp (both are static python ints)
@@ -506,14 +525,14 @@ def _prepare(
 def _tiled_impl(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-    interpret, ov_frac=0.125,
+    interpret, ov_frac=0.125, small_budget=SMALL_BUDGET,
 ):
     from .pallas.tile_raster import tiled_forward
 
     geom, binning, feats = _prepare(
         means2d, conics, colors, opacities, radii, depths,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-        ov_frac=ov_frac,
+        ov_frac=ov_frac, small_budget=small_budget,
     )
     basis = tile_pixel_basis(geom)
     rgb_t, tfin_t, last_t = tiled_forward(
@@ -531,17 +550,17 @@ def _tiled_impl(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15)
 )
 def _rasterize_tiled_core(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-    interpret, ov_frac,
+    interpret, ov_frac, small_budget,
 ):
     img, final_t, (binning, *_rest) = _tiled_impl(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-        interpret, ov_frac,
+        interpret, ov_frac, small_budget,
     )
     return img, final_t, binning.num_isects
 
@@ -549,12 +568,12 @@ def _rasterize_tiled_core(
 def _core_fwd(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-    interpret, ov_frac,
+    interpret, ov_frac, small_budget,
 ):
     img, final_t, (binning, feats, tfin_t, last_t) = _tiled_impl(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-        interpret, ov_frac,
+        interpret, ov_frac, small_budget,
     )
     residuals = (radii, depths, binning, feats, tfin_t, last_t)
     return (img, final_t, binning.num_isects), residuals
@@ -562,7 +581,7 @@ def _core_fwd(
 
 def _core_bwd(
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-    interpret, ov_frac, residuals, cotangents,
+    interpret, ov_frac, small_budget, residuals, cotangents,
 ):
     from .pallas.tile_raster import CHUNK, tiled_backward
 
@@ -652,6 +671,7 @@ def rasterize_tiled(
     interpret: bool | None = None,
     return_isects: bool = False,
     ov_frac: float = 0.125,
+    small_budget: int = SMALL_BUDGET,
 ):
     """Tiled rasterization with the unified rasterizer signature (see
     ``models/render.py``). Returns (image [H,W,3], alpha [H,W]) — plus the
@@ -674,7 +694,7 @@ def rasterize_tiled(
     img, final_t, num_isects = _rasterize_tiled_core(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-        interpret, ov_frac,
+        interpret, ov_frac, small_budget,
     )
     img = img + final_t[..., None] * background[None, None, :]
     if return_isects:
@@ -687,10 +707,14 @@ def make_isect_counter(
     max_tiles_w: int = DEFAULT_MAX_TILES_W,
     max_tiles_h: int = DEFAULT_MAX_TILES_H,
     ov_frac: float = 0.125,
+    small_budget: int = SMALL_BUDGET,
 ):
-    """Jittable (params, alive, camera) -> [num_isects, num_overflow]
-    (int32 [2]). Used by the trainer to monitor the intersection capacity
-    and the overflow-population occupancy, and to autotune both."""
+    """Jittable (params, alive, camera) -> int32 [2 + len(
+    BUDGET_CANDIDATES)]: [num_isects, num_overflow, *n_gt], where n_gt[i]
+    counts gaussians whose tile window exceeds BUDGET_CANDIDATES[i].
+    Used by the trainer to monitor the intersection capacity and the
+    overflow-population occupancy, and to autotune capacity, ov_frac and
+    the small-population budget."""
     import jax as _jax
 
     @functools.partial(
@@ -712,8 +736,14 @@ def make_isect_counter(
             proj.means2d, extents, proj.depths, geom, max_tiles_w,
             max_tiles_h, conics=proj.conics, opacities=opac,
             ov_capacity=_ov_capacity(params.means.shape[0], ov_frac),
+            small_budget=small_budget,
         )
-        return jnp.stack([binning.num_isects, binning.num_overflow])
+        return jnp.concatenate(
+            [
+                jnp.stack([binning.num_isects, binning.num_overflow]),
+                binning.n_gt,
+            ]
+        )
 
     return count
 
@@ -725,6 +755,7 @@ def make_tiled_render_fn(
     isect_mult: int = 3,
     interpret: bool | None = None,
     ov_frac: float = 0.125,
+    small_budget: int = SMALL_BUDGET,
 ):
     """Render function (models/render.py signature) using the tiled Pallas
     rasterizer."""
@@ -739,5 +770,6 @@ def make_tiled_render_fn(
         interpret=interpret,
         return_isects=True,
         ov_frac=ov_frac,
+        small_budget=small_budget,
     )
     return functools.partial(_render, rasterizer=rasterizer)

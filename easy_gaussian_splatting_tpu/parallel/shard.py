@@ -229,19 +229,25 @@ def make_striped_isect_counter(
     max_tiles_w: int,
     max_tiles_h: int,
     ov_frac: float = 0.125,
+    small_budget: int | None = None,
 ):
     """Mesh-aware intersection counter: bins each chip's image stripe
     (exactly as the sharded tiled step does, including bottom padding to
     a stripe multiple) and returns the per-chip MAX of [num_isects,
-    num_overflow] — the quantity the per-chip capacities must cover. Used
-    by the trainer's autotune/watchdog when ``mesh_shape`` is set."""
+    num_overflow, *n_gt] — the quantities the per-chip capacities must
+    cover. Used by the trainer's autotune/watchdog when ``mesh_shape`` is
+    set."""
     from ..ops.projection import CameraIntrinsics, project_gaussians
     from ..ops.rasterize_tiled import (
+        SMALL_BUDGET,
         _ov_capacity,
         bin_gaussians,
         binning_extents,
         image_geometry,
     )
+
+    if small_budget is None:
+        small_budget = SMALL_BUDGET
 
     n_dev = mesh.devices.size
     axes = mesh.axis_names  # 1-D (tiles|gauss) or 2-D (gauss, tiles)
@@ -279,8 +285,14 @@ def make_striped_isect_counter(
                 proj.means2d, extents, proj.depths, geom, max_tiles_w,
                 max_tiles_h, conics=proj.conics, opacities=opac,
                 ov_capacity=_ov_capacity(c, ov_frac),
+                small_budget=small_budget,
             )
-            local = jnp.stack([binning.num_isects, binning.num_overflow])
+            local = jnp.concatenate(
+                [
+                    jnp.stack([binning.num_isects, binning.num_overflow]),
+                    binning.n_gt,
+                ]
+            )
             return jax.lax.pmax(local, axes)
 
         fn = shard_map(

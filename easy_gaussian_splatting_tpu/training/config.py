@@ -115,6 +115,10 @@ class Config:
     # link. Falls back to streaming when the split exceeds the budget.
     data_device_cache: bool = True
     data_device_cache_mb: int = 6144
+    # small-population cells per gaussian in the two-population binning
+    # sort domain (autotuned from the first frame's window histogram;
+    # the watchdog may grow ov_frac instead when overflow rises)
+    small_budget: int = 9
 
     def validate(self) -> None:
         if self.data_format not in ("colmap", "blender"):

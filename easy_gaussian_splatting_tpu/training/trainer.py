@@ -69,6 +69,7 @@ def get_render_fn(cfg: Config) -> Callable:
             max_tiles_h=cfg.max_tiles,
             isect_mult=cfg.isect_mult,
             ov_frac=cfg.ov_frac,
+            small_budget=cfg.small_budget,
         )
     return functools.partial(render, chunk=cfg.raster_chunk)
 
@@ -417,13 +418,13 @@ def train(
 
                 return make_striped_isect_counter(
                     mesh, cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
-                    ov_frac=cfg.ov_frac,
+                    ov_frac=cfg.ov_frac, small_budget=cfg.small_budget,
                 )
             from ..ops.rasterize_tiled import make_isect_counter
 
             return make_isect_counter(
                 cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
-                ov_frac=cfg.ov_frac,
+                ov_frac=cfg.ov_frac, small_budget=cfg.small_budget,
             )
 
         isect_counter = _make_counter()
@@ -435,34 +436,51 @@ def train(
         nonlocal render_fn, train_step, isect_counter
         if isect_counter is None:
             return
-        n, n_ov = (
-            int(v)
-            for v in np.asarray(
-                isect_counter(
-                    loop.model.params,
-                    loop.model.alive,
-                    jnp.asarray(data["w2c"]),
-                    jnp.asarray(data["K"]),
-                    height=data["height"],
-                    width=data["width"],
-                )
+        vals = np.asarray(
+            isect_counter(
+                loop.model.params,
+                loop.model.alive,
+                jnp.asarray(data["w2c"]),
+                jnp.asarray(data["K"]),
+                height=data["height"],
+                width=data["width"],
             )
         )
-        want = round(max(0.25, n * 1.3 / loop.model.capacity), 3)
-        # the overflow population is pure sort-domain/fusion overhead when
-        # unused (ov_capacity keeps a 128-slot floor regardless), so the
-        # autotune may shrink it well below the config default
-        want_ov = round(
-            max(0.01, min(1.0, n_ov * 2.0 / loop.model.capacity)), 3
-        )
-        if want != cfg.isect_mult or want_ov != cfg.ov_frac:
+        n, n_ov = int(vals[0]), int(vals[1])
+        cap = loop.model.capacity
+        want = round(max(0.25, n * 1.3 / cap), 3)
+        # choose the small-population budget + overflow fraction jointly
+        # to minimize the binning sort domain C*b + M*ov_capacity — the
+        # dominant cost at large N. The overflow population is pure
+        # sort-domain/fusion overhead when unused (ov_capacity keeps a
+        # 128-slot floor regardless), so the autotune may shrink ov_frac
+        # well below the config default.
+        from ..ops.rasterize_tiled import BUDGET_CANDIDATES, _ov_capacity
+
+        m_cells = cfg.max_tiles * cfg.max_tiles
+        want_b, want_ov, best_dom = cfg.small_budget, cfg.ov_frac, None
+        for bb, need in zip(BUDGET_CANDIDATES, vals[2:]):
+            if bb >= m_cells:
+                continue
+            # 2x headroom over the measured overflow population
+            ovf = round(max(0.01, min(1.0, int(need) * 2.0 / cap)), 3)
+            dom = cap * bb + m_cells * _ov_capacity(cap, ovf)
+            if best_dom is None or dom < best_dom:
+                want_b, want_ov, best_dom = bb, ovf, dom
+        if (
+            want != cfg.isect_mult
+            or want_ov != cfg.ov_frac
+            or want_b != cfg.small_budget
+        ):
             logger.info(
                 f"isect autotune: {n} intersections / {n_ov} overflow on "
                 f"the first frame -> isect_mult {cfg.isect_mult} -> "
-                f"{want}, ov_frac {cfg.ov_frac} -> {want_ov}"
+                f"{want}, ov_frac {cfg.ov_frac} -> {want_ov}, "
+                f"small_budget {cfg.small_budget} -> {want_b}"
             )
             cfg.isect_mult = want
             cfg.ov_frac = want_ov
+            cfg.small_budget = want_b
             render_fn = get_render_fn(cfg)
             train_step = make_train_step(cfg, render_fn)
             isect_counter = _make_counter()
@@ -503,19 +521,17 @@ def train(
         nonlocal render_fn, train_step, isect_counter
         if isect_counter is None:
             return
-        n, n_ov = (
-            int(v)
-            for v in np.asarray(
-                isect_counter(
-                    loop.model.params,
-                    loop.model.alive,
-                    jnp.asarray(data["w2c"]),
-                    jnp.asarray(data["K"]),
-                    height=data["height"],
-                    width=data["width"],
-                )
+        vals = np.asarray(
+            isect_counter(
+                loop.model.params,
+                loop.model.alive,
+                jnp.asarray(data["w2c"]),
+                jnp.asarray(data["K"]),
+                height=data["height"],
+                width=data["width"],
             )
         )
+        n, n_ov = int(vals[0]), int(vals[1])
         from ..ops.rasterize_tiled import _ov_capacity
 
         ov_cap = _ov_capacity(loop.model.capacity, cfg.ov_frac)
@@ -555,6 +571,16 @@ def train(
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
     )
+
+    # background precompiler: capacity growths and SH-degree bumps give
+    # the jitted step a new signature; warm the next executable on a
+    # compile thread (host-side) while the chip keeps training, so the
+    # eventual rebuild is a compilation-cache hit instead of a stall
+    precompiler = None
+    if mesh is None:
+        from .precompile import StepPrecompiler
+
+        precompiler = StepPrecompiler(make_train_step, get_render_fn)
 
     # device-resident dataset cache: one upload at startup, per-step frame
     # fetch becomes a jitted on-device slice (streamed per-step transfers
@@ -773,6 +799,30 @@ def train(
                 "large_scale": info["prune_large_scale"],
             }
             all_tb_info["train/nbr_gaussians"] = info["nbr_gaussians"]
+            if precompiler is not None:
+                cap_now = loop.model.capacity
+                # predict the next pre-emptive doubling (threshold 0.85 in
+                # run_densify_with_growth; warm from 0.55 for headroom).
+                # If an SH bump lands before the growth likely does, warm
+                # the upgraded degree too — the growth-time step will use
+                # whichever is active.
+                if (
+                    info["nbr_gaussians"] > 0.55 * cap_now
+                    and cap_now < cfg.max_capacity
+                ):
+                    next_cap = min(cap_now * 2, cfg.max_capacity)
+                    sh_targets = {loop.active_sh_degree}
+                    if (
+                        cfg.sh_degree_interval != 0
+                        and loop.active_sh_degree < cfg.sh_degree
+                        and cfg.sh_degree_interval <= 2 * cfg.refine_every
+                    ):
+                        sh_targets.add(loop.active_sh_degree + 1)
+                    for sh_t in sorted(sh_targets):
+                        precompiler.warm(
+                            cfg, loop.model, loop.adam,
+                            data["height"], data["width"], sh_t, next_cap,
+                        )
         _bucket("densify")
         if reset_now:
             loop.model, loop.adam = reset_opacities(
@@ -780,6 +830,17 @@ def train(
             )
 
         # SH degree upgrade
+        if (
+            precompiler is not None
+            and cfg.sh_degree_interval != 0
+            and loop.active_sh_degree < cfg.sh_degree
+            and step % cfg.sh_degree_interval
+            == max(1, cfg.sh_degree_interval - 60)
+        ):
+            precompiler.warm(
+                cfg, loop.model, loop.adam, data["height"], data["width"],
+                loop.active_sh_degree + 1, loop.model.capacity,
+            )
         if (
             cfg.sh_degree_interval != 0
             and step % cfg.sh_degree_interval == 0
@@ -816,6 +877,8 @@ def train(
             viewer.update_render_image()
 
     _drain_losses(min_pending=0)
+    if precompiler is not None:
+        precompiler.shutdown()
     if tb_writer is not None:
         tb_writer.close()
     return loop

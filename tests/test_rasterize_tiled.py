@@ -113,6 +113,35 @@ class TestBinning:
             np.asarray(dense.counts), np.asarray(twopop.counts)
         )
 
+    def test_adaptive_budget_matches_dense(self, rng):
+        """Any small-population budget reproduces the dense domain exactly
+        when the overflow capacity covers every bigger-window gaussian,
+        and the n_gt histogram counts the budget-exceeding windows."""
+        m2d, con, col, opa, rad, dep = _scene(rng, n=40, big=True)
+        geom = image_geometry(H, W, 16)
+        dense = bin_gaussians(m2d, rad, dep, geom, 8, 8, ov_capacity=0)
+        n = int(dense.num_isects)
+        counts = np.asarray(dense.counts)
+        for b, n_gt in zip((2, 4, 9), np.asarray(dense.n_gt)):
+            # n_gt counts pre-exact-test windows (w*h > b): a superset of
+            # the gaussians whose LIVE cell count exceeds b
+            assert int(n_gt) >= int(np.sum(counts > b))
+            adaptive = bin_gaussians(
+                m2d, rad, dep, geom, 8, 8, ov_capacity=40, small_budget=b
+            )
+            assert int(adaptive.num_isects) == n, f"budget {b}"
+            np.testing.assert_array_equal(
+                np.asarray(dense.tile_offsets),
+                np.asarray(adaptive.tile_offsets),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dense.isect_flat)[:n],
+                np.asarray(adaptive.isect_flat)[:n],
+            )
+            np.testing.assert_array_equal(
+                counts, np.asarray(adaptive.counts)
+            )
+
     def test_two_population_truncation_is_bounded(self, rng):
         """Big-window gaussians beyond the overflow capacity keep exactly
         their first SMALL_BUDGET cells; num_overflow reports the true

@@ -157,3 +157,39 @@ class TestFullTraining:
             np.asarray(state.params.means), np.asarray(model.params.means)
         )
         assert int(state.num_alive()) == 10
+
+
+def test_step_precompiler_warms_next_capacity():
+    """StepPrecompiler traces+compiles the train step at a FUTURE
+    capacity on its worker thread without touching the live model, and
+    dedups repeated signatures."""
+    import numpy as np
+
+    from easy_gaussian_splatting_tpu.models.gaussians import (
+        init_gaussian_state,
+    )
+    from easy_gaussian_splatting_tpu.models.optimizer import init_adam_state
+    from easy_gaussian_splatting_tpu.training.config import config_from_dict
+    from easy_gaussian_splatting_tpu.training.precompile import (
+        StepPrecompiler,
+    )
+    from easy_gaussian_splatting_tpu.training.trainer import (
+        get_render_fn,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    xyzs = rng.uniform(-1, 1, size=(64, 3)).astype(np.float32)
+    rgbs = rng.integers(0, 256, size=(64, 3)).astype(np.uint8)
+    model = init_gaussian_state(xyzs, rgbs, sh_degree=1, capacity=128)
+    adam = init_adam_state(model.params)
+    cfg = config_from_dict(dict(renderer="tiled", white_background=True))
+
+    pre = StepPrecompiler(make_train_step, get_render_fn)
+    fut = pre.warm(cfg, model, adam, 32, 32, sh_degree=1, capacity=256)
+    assert fut is not None
+    fut.result(timeout=300)  # raises if the background compile failed
+    # model untouched, dedup works
+    assert model.params.means.shape[0] == 128
+    assert pre.warm(cfg, model, adam, 32, 32, 1, 256) is None
+    pre.shutdown()
