@@ -89,6 +89,7 @@ class Evaluator:
         lpips_pairs = []
         renders = []
         t0 = None
+        last_args = None
         if cache is not None:
             # device-resident split: per-frame fetch is a jitted on-device
             # slice (no host->device image transfers inside the FPS window)
@@ -114,9 +115,10 @@ class Evaluator:
                     )[2]
                 )
                 t0 = time.perf_counter()
-            render_img, comp, m_psnr, m_ssim = run(
-                model.params, model.alive, w2c, K, background, image, mask
+            last_args = (
+                model.params, model.alive, w2c, K, background, image, mask,
             )
+            render_img, comp, m_psnr, m_ssim = run(*last_args)
             psnrs.append(m_psnr)
             ssims.append(m_ssim)
             lpips_pairs.append((comp, image))
@@ -143,5 +145,17 @@ class Evaluator:
 
         for k in ("psnr", "ssim", "lpips"):
             metrics[k] /= max(n, 1)
+        # fps is pipelined THROUGHPUT (all frames dispatched, one fused
+        # fetch forces the chain). latency_ms is the blocking wall time of
+        # ONE render end-to-end (median of 3) — the number comparable to
+        # per-frame timing; on a remote-device link it includes the link
+        # round trip, so it upper-bounds on-device latency.
         metrics["fps"] = n / cost if cost > 0 else 0.0
+        if n > 0 and last_args is not None:
+            times = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                np.asarray(run(*last_args)[2])
+                times.append(time.perf_counter() - t1)
+            metrics["latency_ms"] = float(np.median(times) * 1e3)
         return metrics

@@ -765,7 +765,7 @@ def train(
             for k, v in metrics.items():
                 if "render" in k:
                     all_tb_info[f"render/{k}"] = v
-                elif k in ("psnr", "ssim", "lpips", "fps"):
+                elif k in ("psnr", "ssim", "lpips", "fps", "latency_ms"):
                     all_tb_info[f"eval/{k}"] = v
         _bucket("eval")
 

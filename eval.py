@@ -83,7 +83,8 @@ def eval(training_output_path: str, iterations: Optional[int] = None):
         logger.info(
             f"evaluation in {set_name:>10s}: psnr={m['psnr']:6.3f}, "
             f"ssim={m['ssim']:6.3f}, {lpips_tag}={m['lpips']:6.3f}, "
-            f"fps={m['fps']:6.3f}"
+            f"fps={m['fps']:6.3f}, "
+            f"latency={m.get('latency_ms', 0.0):6.1f}ms"
         )
 
 

@@ -162,8 +162,9 @@ def main():
         )
         return dfeats.sum()
 
-    # 5: + the 12-column scatter-add to original indices
-    def s_bwd_scatter(params):
+    # 5a..5d: the flat-sorted segmented reduction, piecewise (dfeats is
+    # ROW-major [I_pad, 128], lanes 0..10 live — see tile_raster.py)
+    def _bwd_dfeats(params):
         binning, feats = prepared(params)
         rgb_t, tfin_t, last_t = tiled_forward(
             feats, binning.tile_offsets, basis_c, geom.num_tiles,
@@ -172,10 +173,74 @@ def main():
             feats, binning.tile_offsets, basis_c, gimg_c, gt_c,
             tfin_t, last_t,
         )
-        c = model.capacity
-        dsum = jnp.zeros((c, 12), jnp.float32).at[binning.isect_orig].add(
-            jnp.swapaxes(dfeats, 0, 1)[: binning.isect_orig.shape[0], :12]
+        return binning, dfeats
+
+    def s_red_sort(params):
+        binning, dfeats = _bwd_dfeats(params)
+        icap = binning.isect_flat.shape[0]
+        flat_asc, perm = jax.lax.sort(
+            (binning.isect_flat, jnp.arange(icap, dtype=jnp.int32)),
+            num_keys=1, is_stable=False,
         )
+        return dfeats.sum() + flat_asc.sum() + perm.sum()
+
+    def s_red_gather(params):
+        binning, dfeats = _bwd_dfeats(params)
+        icap = binning.isect_flat.shape[0]
+        flat_asc, perm = jax.lax.sort(
+            (binning.isect_flat, jnp.arange(icap, dtype=jnp.int32)),
+            num_keys=1, is_stable=False,
+        )
+        rows = dfeats[:icap, :12][perm]
+        return rows.sum() + flat_asc.sum()
+
+    def s_red_scan(params):
+        binning, dfeats = _bwd_dfeats(params)
+        icap = binning.isect_flat.shape[0]
+        m = cfg.max_tiles * cfg.max_tiles
+        flat_asc, perm = jax.lax.sort(
+            (binning.isect_flat, jnp.arange(icap, dtype=jnp.int32)),
+            num_keys=1, is_stable=False,
+        )
+        rows = dfeats[:icap, :12][perm]
+        rt = jnp.swapaxes(rows, 0, 1)
+        g = flat_asc // m
+        k = 1
+        while k < m:
+            g_ahead = jnp.concatenate([g[k:], jnp.full((k,), -1, jnp.int32)])
+            same = (g_ahead == g)[None, :]
+            rt_ahead = jnp.concatenate(
+                [rt[:, k:], jnp.zeros((rt.shape[0], k), rt.dtype)], axis=1
+            )
+            rt = rt + jnp.where(same, rt_ahead, 0.0)
+            k *= 2
+        return rt.sum()
+
+    def s_red_full(params):
+        binning, dfeats = _bwd_dfeats(params)
+        icap = binning.isect_flat.shape[0]
+        m = cfg.max_tiles * cfg.max_tiles
+        flat_asc, perm = jax.lax.sort(
+            (binning.isect_flat, jnp.arange(icap, dtype=jnp.int32)),
+            num_keys=1, is_stable=False,
+        )
+        rows = dfeats[:icap, :12][perm]
+        rt = jnp.swapaxes(rows, 0, 1)
+        g = flat_asc // m
+        k = 1
+        while k < m:
+            g_ahead = jnp.concatenate([g[k:], jnp.full((k,), -1, jnp.int32)])
+            same = (g_ahead == g)[None, :]
+            rt_ahead = jnp.concatenate(
+                [rt[:, k:], jnp.zeros((rt.shape[0], k), rt.dtype)], axis=1
+            )
+            rt = rt + jnp.where(same, rt_ahead, 0.0)
+            k *= 2
+        sums = jnp.swapaxes(rt, 0, 1)
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(binning.counts)[:-1]]
+        )
+        dsum = sums[jnp.minimum(starts, icap - 1)]
         return dsum.sum()
 
     # 6: full fwd+bwd via the custom VJP (sum loss) — adds image cotangent
@@ -197,7 +262,10 @@ def main():
     timeit("2 + fwd kernel (no assembly)", s_kernel, model.params)
     timeit("3 + assembly (full fwd)", s_fwd, model.params)
     timeit("4 (2) + bwd kernel (const cotangents)", s_bwd_kernel, model.params)
-    timeit("5 (4) + 12-col scatter", s_bwd_scatter, model.params)
+    timeit("5a (4) + flat sort", s_red_sort, model.params)
+    timeit("5b (5a) + [p] row gather", s_red_gather, model.params)
+    timeit("5c (5b) + segmented scan", s_red_scan, model.params)
+    timeit("5d (5c) + starts gather (full reduction)", s_red_full, model.params)
     timeit("6 full fwd+bwd custom VJP (sum loss)", s_full_vjp, model.params)
 
 
