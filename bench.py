@@ -40,17 +40,25 @@ def main():
         make_train_step,
     )
 
+    # bench.py [N] [H W] [tile_size] [margin]
     n, h, w = 100_000, 800, 800
+    tile_size, margin = 32, 1.3
     if len(argv) >= 1:
         n = int(argv[0])
     if len(argv) >= 3:
         h, w = int(argv[1]), int(argv[2])
+    if len(argv) >= 4:
+        tile_size = int(argv[3])
+    if len(argv) >= 5:
+        margin = float(argv[4])
     rng = np.random.default_rng(0)
     xyzs = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
     rgbs = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
     model = init_gaussian_state(xyzs, rgbs, sh_degree=3)
     adam = init_adam_state(model.params)
-    cfg = config_from_dict(dict(renderer="tiled", white_background=True))
+    cfg = config_from_dict(
+        dict(renderer="tiled", white_background=True, tile_size=tile_size)
+    )
 
     K = jnp.array(
         [[1111.0, 0, w / 2], [0, 1111.0, h / 2], [0, 0, 1.0]], jnp.float32
@@ -70,7 +78,7 @@ def main():
         counter(model.params, model.alive, w2c, K, height=h, width=w)
     )
     n_isect = int(vals[0])
-    cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
+    cfg.isect_mult = round(max(0.25, n_isect * margin / model.capacity), 3)
     m_cells = cfg.max_tiles * cfg.max_tiles
     best_dom = None
     for bb, need in zip(BUDGET_CANDIDATES, vals[2:]):

@@ -255,16 +255,19 @@ def run_densify_with_growth(
             else:
                 # heavy pruning leaves dead slots that every per-capacity
                 # cost (binning grid, sort domain, argsorts) still pays
-                # for — compact alive rows to the front and shrink to the
-                # pow2 that keeps >= ~30% headroom. The pow2 ladder plus
-                # the 0.85 growth threshold gives hysteresis, and repeat
-                # shapes hit the compilation cache.
+                # for — compact alive rows to the front and shrink. Only
+                # compact when the 1.3x-headroom target is at most HALF
+                # the current capacity: a x2 growth lands at ~43%
+                # occupancy and a softer threshold oscillates
+                # grow<->compact every few densify events (measured: a
+                # recompile pair every ~3 min at 800px — the dominant
+                # whole-run cost before this hysteresis).
                 want = (
                     _round_up_capacity(int(n * 1.3))
                     if cfg.shrink_capacity
                     else cap
                 )
-                if want < cap:
+                if want * 2 <= cap:
                     logger.info(
                         f"compacting capacity {cap} -> {want} "
                         f"({n} gaussians alive)"

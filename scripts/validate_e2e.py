@@ -47,6 +47,12 @@ def main():
         "--min-psnr", type=float, default=22.0,
         help="validation gate (lower for hard scenes / short runs)",
     )
+    parser.add_argument(
+        "--reuse-data", action="store_true",
+        help="skip generation when the dataset dir already exists "
+        "(generation is deterministic per settings; big GT scenes take "
+        "minutes to render)",
+    )
     args = parser.parse_args()
 
     from easy_gaussian_splatting_tpu.training.config import config_from_dict
@@ -62,24 +68,33 @@ def main():
     out_dir = workdir / "run"
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    print(f"generating {args.format} scene at {data_dir} ...")
+    skip_gen = args.reuse_data and (
+        (data_dir / "transforms_train.json").exists()
+        or (data_dir / "sparse").exists()
+    )
+    if skip_gen:
+        print(f"reusing existing {args.format} scene at {data_dir}")
+    else:
+        print(f"generating {args.format} scene at {data_dir} ...")
     if args.format == "blender":
-        generate_blender_scene(
-            data_dir, image_size=args.size, n_train=args.cameras,
-            n_test=max(2, args.cameras // 4),
-            n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
-            with_masks=args.masks,
-        )
+        if not skip_gen:
+            generate_blender_scene(
+                data_dir, image_size=args.size, n_train=args.cameras,
+                n_test=max(2, args.cameras // 4),
+                n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
+                with_masks=args.masks,
+            )
         fmt_keys = dict(
             data_format="blender", white_background=True, eval_in_test=True,
             blender_init_points=args.init_points,
         )
     else:
-        generate_colmap_scene(
-            data_dir, image_size=args.size, n_images=args.cameras,
-            n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
-            with_masks=args.masks,
-        )
+        if not skip_gen:
+            generate_colmap_scene(
+                data_dir, image_size=args.size, n_images=args.cameras,
+                n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
+                with_masks=args.masks,
+            )
         fmt_keys = dict(
             data_format="colmap", white_background=False,
             eval_split_ratio=0.2,
