@@ -1,17 +1,21 @@
 """Benchmark: full training-step throughput of the TPU-native 3DGS stack.
 
-Self-contained (no dataset needed): builds a mid-training-scale synthetic
-scene (100k Gaussians, 800x800 camera — the nerf_synthetic regime the
-reference trains at, ``/root/reference/configs/nerf_synthetic.yaml``) and
-times the complete jitted train step — projection, binning, tiled Pallas
+Self-contained (no dataset needed): builds synthetic mid-training-scale
+scenes (800x800 camera — the nerf_synthetic regime the reference trains
+at, ``/root/reference/configs/nerf_synthetic.yaml``) and times the
+complete jitted train step — projection, binning, tiled Pallas
 rasterization forward+backward, SSIM+L1 loss, densify statistics, grouped
-Adam — end to end on the attached chip.
+Adam — end to end on the attached chip, at a MATRIX of Gaussian counts
+(100k / 1M / 3M: the nerf_synthetic mid-train point, the tandt_db
+mid-train point, and the tandt densified end-state regime).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` divides by 10 train iters/s — a documented estimate of the
-torch+gsplat reference's whole-run average on its required 16 GB-class GPU
-(the reference publishes no speed numbers, SURVEY.md §6; derivation in
-BASELINE.md "Derivation of the 10 it/s throughput baseline").
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+The headline value is the 100k point (comparable round-over-round);
+``detail.scale_probe`` carries every point. ``vs_baseline`` divides by 10
+train iters/s — a documented estimate of the torch+gsplat reference's
+whole-run average on its required 16 GB-class GPU (the reference
+publishes no speed numbers, SURVEY.md §6; derivation in BASELINE.md
+"Derivation of the 10 it/s throughput baseline").
 """
 
 import json
@@ -21,36 +25,28 @@ import time
 import numpy as np
 
 BASELINE_ITERS_PER_SEC = 10.0
+DEFAULT_PROBE_NS = (100_000, 1_000_000, 3_000_000)
 
 
-def main():
+def bench_point(n, h, w, tile_size=32, margin=1.3, iters=30):
     import jax
     import jax.numpy as jnp
-
-    # optional scale overrides: bench.py [N] [H] [W]
-    argv = sys.argv[1:]
 
     from easy_gaussian_splatting_tpu.models.gaussians import (
         init_gaussian_state,
     )
     from easy_gaussian_splatting_tpu.models.optimizer import init_adam_state
+    from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+        BUDGET_CANDIDATES,
+        _ov_capacity,
+        make_isect_counter,
+    )
     from easy_gaussian_splatting_tpu.training.config import config_from_dict
     from easy_gaussian_splatting_tpu.training.trainer import (
         get_render_fn,
         make_train_step,
     )
 
-    # bench.py [N] [H W] [tile_size] [margin]
-    n, h, w = 100_000, 800, 800
-    tile_size, margin = 32, 1.3
-    if len(argv) >= 1:
-        n = int(argv[0])
-    if len(argv) >= 3:
-        h, w = int(argv[1]), int(argv[2])
-    if len(argv) >= 4:
-        tile_size = int(argv[3])
-    if len(argv) >= 5:
-        margin = float(argv[4])
     rng = np.random.default_rng(0)
     xyzs = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
     rgbs = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
@@ -67,12 +63,6 @@ def main():
 
     # size the intersection capacity + binning budgets like the trainer's
     # autotune does
-    from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
-        BUDGET_CANDIDATES,
-        _ov_capacity,
-        make_isect_counter,
-    )
-
     counter = make_isect_counter(cfg.tile_size, cfg.max_tiles, cfg.max_tiles)
     vals = np.asarray(
         counter(model.params, model.alive, w2c, K, height=h, width=w)
@@ -112,26 +102,61 @@ def main():
 
     model, adam, ld = one(model, adam)  # compile
     force(model, ld)
-    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         model, adam, ld = one(model, adam)
     force(model, ld)
     dt = (time.perf_counter() - t0) / iters
-    its = 1.0 / dt
+    return {
+        "gaussians": n,
+        "step_ms": round(dt * 1e3, 2),
+        "it_per_s": round(1.0 / dt, 3),
+        "isects": n_isect,
+        "mpix_per_s": round(h * w / dt / 1e6, 2),
+    }
+
+
+def main():
+    import jax
+
+    # usage: bench.py [N] [H W] [tile_size] [margin]  (explicit N: single
+    # point — the profiling workflow; no args: the full scale matrix)
+    argv = sys.argv[1:]
+    h, w = 800, 800
+    tile_size, margin = 32, 1.3
+    if len(argv) >= 3:
+        h, w = int(argv[1]), int(argv[2])
+    if len(argv) >= 4:
+        tile_size = int(argv[3])
+    if len(argv) >= 5:
+        margin = float(argv[4])
+    probe_ns = [int(argv[0])] if argv else list(DEFAULT_PROBE_NS)
+
+    probes = []
+    for n in probe_ns:
+        # fewer timing iters at the big-N points (steps are ~10x longer)
+        probes.append(
+            bench_point(
+                n, h, w, tile_size, margin,
+                iters=30 if n <= 300_000 else 15,
+            )
+        )
+    head = probes[0]
+    its = head["it_per_s"]
     print(
         json.dumps(
             {
                 "metric": "train_iters_per_sec",
-                "value": round(its, 3),
+                "value": its,
                 "unit": "it/s",
                 "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
                 "detail": {
-                    "step_ms": round(dt * 1e3, 2),
-                    "gaussians": n,
+                    "step_ms": head["step_ms"],
+                    "gaussians": head["gaussians"],
                     "image": f"{w}x{h}",
-                    "mpix_per_s": round(h * w * its / 1e6, 2),
+                    "mpix_per_s": head["mpix_per_s"],
                     "backend": jax.default_backend(),
+                    "scale_probe": probes,
                 },
             }
         )

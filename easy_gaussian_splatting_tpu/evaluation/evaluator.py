@@ -74,7 +74,11 @@ class Evaluator:
         from ..scene.scene import prefetch_frames
 
         n = scene.nbr_data(split)
-        metrics: Dict[str, Any] = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0}
+        # proxy-weight LPIPS values are NOT comparable to published
+        # LPIPS-VGG numbers (/root/reference/eval.py:27); segregate the
+        # metric name so dashboards/logs can never conflate the two
+        lpips_key = "lpips" if self.lpips.kind == "vgg" else "lpips_proxy"
+        metrics: Dict[str, Any] = {"psnr": 0.0, "ssim": 0.0, lpips_key: 0.0}
         render_indexes = list(range(n))
         if len(render_indexes) > self.eval_render_num:
             render_indexes = random.sample(
@@ -123,7 +127,9 @@ class Evaluator:
             ssims.append(m_ssim)
             lpips_pairs.append((comp, image))
             if i in render_indexes:
-                renders.append((np.asarray(data["image"]), render_img))
+                # keep device arrays; the multi-MB device->host fetches
+                # happen after the FPS window closes (below)
+                renders.append((data["image"], render_img))
 
         if psnrs:
             vals = np.asarray(jnp.stack(psnrs + ssims))  # one fused fetch
@@ -138,12 +144,16 @@ class Evaluator:
             self.lpips.device_fn(comp, gt) for comp, gt in lpips_pairs
         ]
         if lpips_vals:
-            metrics["lpips"] = float(np.asarray(jnp.stack(lpips_vals)).sum())
+            metrics[lpips_key] = float(
+                np.asarray(jnp.stack(lpips_vals)).sum()
+            )
         for render_count, (gt, render_img) in enumerate(renders, start=1):
-            side = np.concatenate([gt, np.asarray(render_img)], axis=1)
+            side = np.concatenate(
+                [np.asarray(gt), np.asarray(render_img)], axis=1
+            )
             metrics[f"render_{render_count}"] = side
 
-        for k in ("psnr", "ssim", "lpips"):
+        for k in ("psnr", "ssim", lpips_key):
             metrics[k] /= max(n, 1)
         # fps is pipelined THROUGHPUT (all frames dispatched, one fused
         # fetch forces the chain). latency_ms is the blocking wall time of
@@ -153,9 +163,15 @@ class Evaluator:
         metrics["fps"] = n / cost if cost > 0 else 0.0
         if n > 0 and last_args is not None:
             times = []
-            for _ in range(3):
+            for rep in range(3):
+                # perturb an input per repetition: identical (executable,
+                # args) dispatches can be served from a cache on the
+                # tunnel device (CLAUDE.md timing rules), which would make
+                # this report ~link RTT instead of render latency
+                args = list(last_args)
+                args[2] = args[2] + jnp.float32(1e-6) * (rep + 1)
                 t1 = time.perf_counter()
-                np.asarray(run(*last_args)[2])
+                np.asarray(run(*args)[2])
                 times.append(time.perf_counter() - t1)
             metrics["latency_ms"] = float(np.median(times) * 1e3)
         return metrics

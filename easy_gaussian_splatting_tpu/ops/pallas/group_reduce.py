@@ -1,0 +1,49 @@
+"""Streaming fixed-stride group reduction: [G*B, L] -> [G, L].
+
+XLA's reshape+reduce for this pattern runs ~15x off HBM bandwidth on TPU
+(measured 35 ms for a 1 GB input at B=2); this kernel streams blocks at
+DMA speed and reduces on the VPU. Used by the tiled rasterizer's dense
+backward reduction (``rasterize_tiled._core_bwd``), where each Gaussian's
+gradient rows sit at a static stride in the dense duplicate grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _kernel(x_ref, o_ref, *, b: int):
+    rows = x_ref[...]  # [R*B, L]
+    r = o_ref.shape[0]
+    o_ref[...] = rows.reshape(r, b, rows.shape[-1]).sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "interpret"))
+def group_reduce(x: jnp.ndarray, b: int, interpret: bool = False):
+    """Sum consecutive groups of ``b`` rows: [G*B, L] -> [G, L].
+
+    L must be a multiple of 128 (lane tiling); G*B = x.shape[0] must be
+    divisible by b."""
+    total, lanes = x.shape
+    if total % b:
+        raise ValueError(f"rows {total} not divisible by group size {b}")
+    g = total // b
+    # output rows per grid step (input block = r*b rows; keep blocks
+    # within a few MB of VMEM)
+    r = 256
+    while r > 1 and (g % r or (r * b * lanes * 4) > (6 << 20)):
+        r //= 2
+    if g % r:
+        r = 1
+    return pl.pallas_call(
+        functools.partial(_kernel, b=b),
+        grid=(g // r,),
+        in_specs=[pl.BlockSpec((r * b, lanes), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((r, lanes), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, lanes), x.dtype),
+        interpret=interpret,
+    )(x)

@@ -32,12 +32,27 @@ affects footprints beyond the budget's tile area).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .projection import CameraIntrinsics, project_gaussians
+
+# Backward per-Gaussian gradient reduction strategy (A/B via env):
+#   "scan" (default): flat-sort + permutation gather + segmented
+#     reduction over the COMPACT intersection capacity (~1.3x the live
+#     intersection count).
+#   "dense": carry each sort entry's DENSE duplicate-slot id through the
+#     binning sort; the backward inverts that permutation with one cheap
+#     sort and gathers gradient rows straight into the dense grid, where
+#     the per-Gaussian sum is a streaming group-reduce. Measured A/B at
+#     1M Gaussians / 800^2: LOSES to "scan" — the dense domain D (the
+#     sort domain, 6.5M there) is ~2.5x the intersection capacity, and
+#     every dense-path gather/reduce scales with D. Kept switchable for
+#     regimes where D ~ icap (large small_budget occupancy).
+BWD_REDUCE = os.environ.get("EGS_TPU_BWD_REDUCE", "scan")
 
 DEFAULT_TILE = 32
 DEFAULT_MAX_TILES_W = 4
@@ -92,6 +107,17 @@ class Binning(NamedTuple):
     # cells (should stay < the overflow capacity; watchdog grows ov_frac)
     n_gt: jnp.ndarray = None  # [len(BUDGET_CANDIDATES)] int32: gaussians
     # whose window exceeds each candidate budget (drives budget autotune)
+    # --- dense-reduction side-channel (see _core_bwd): the sort domain is
+    # a PERMUTATION of dense duplicate slots (population A: c*b_small + j;
+    # population B: C*b_small + s*M + j), so carrying the dense slot id
+    # through the binning sort gives the backward a sort-free path from
+    # tile order to a reshape-summable dense layout.
+    dense: jnp.ndarray = None  # [D] dense slot id per tile-order position
+    # (FULL sort domain, untruncated — the inverse permutation needs all)
+    in_ov: jnp.ndarray = None  # [C] bool: gaussian lives in population B
+    ov_rank: jnp.ndarray = None  # [C] B slot of each gaussian (valid
+    # where in_ov; the B->gaussian fold is a GATHER by this rank — a
+    # scatter by slot measured ~4x slower at 250k rows)
 
 
 def binning_extents(
@@ -268,9 +294,12 @@ def bin_gaussians(
 
     rank_bits = max(1, (c - 1).bit_length())
     tile_bits = num_tiles.bit_length()  # ids 0..num_tiles (incl. sentinel)
-    two_pop = m > b_small and ov_capacity > 0 and (
-        rank_bits + tile_bits <= 31
-    )
+    # (tile, rank) packs into one i32 key up to C ~ 2M at 800^2; beyond
+    # that the sort falls back to num_keys=2 — same ordering, ~same data
+    # movement, only a costlier comparator (the two-population domain
+    # compaction below is independent of the packing)
+    packable = rank_bits + tile_bits <= 31
+    two_pop = m > b_small and ov_capacity > 0
     if two_pop:
         # TWO-POPULATION sort domain. Measured window-size distribution:
         # w*h <= b_small covers the vast majority of gaussians
@@ -309,43 +338,67 @@ def bin_gaussians(
         )
         rank_b = rank[safe_id]
 
-        packed = jnp.concatenate(
+        keys_dom = jnp.concatenate(
+            [keys_a.reshape(-1), keys_b.reshape(-1)]
+        )
+        rank_dom = jnp.concatenate(
             [
-                ((keys_a << rank_bits) | rank[:, None]).reshape(-1),
-                ((keys_b << rank_bits) | rank_b[:, None]).reshape(-1),
+                jnp.broadcast_to(rank[:, None], (c, b_small)).reshape(-1),
+                jnp.broadcast_to(
+                    rank_b[:, None], (ov_capacity, m)
+                ).reshape(-1),
             ]
         )
-        flats_all = jnp.concatenate(
+        flats_dom = jnp.concatenate(
             [flats_a.reshape(-1), flats_b.reshape(-1)]
         )
-        sorted_packed, sorted_flat = jax.lax.sort(
-            (packed, flats_all), num_keys=1, is_stable=False
+        # dense slot id: A slots c*b_small + j, B slots C*b_small + s*M + j
+        # — together a PERMUTATION of [0, D), regardless of liveness (dead
+        # slots sort to the tail through their sentinel key but keep their
+        # true dense id, which is what makes the inverse permutation in
+        # the dense backward reduction well-defined)
+        dense_dom = jnp.concatenate(
+            [
+                (
+                    arange_c[:, None] * b_small
+                    + jnp.arange(b_small, dtype=jnp.int32)[None, :]
+                ).reshape(-1),
+                (
+                    c * b_small
+                    + jnp.arange(ov_capacity, dtype=jnp.int32)[:, None] * m
+                    + j_grid[:ov_capacity]
+                ).reshape(-1),
+            ]
         )
-        sorted_keys = (sorted_packed >> rank_bits).astype(jnp.int32)
-    elif rank_bits + tile_bits <= 31:
+        in_ov_out, ov_rank_out = in_ov, ov_rank
+    else:
+        keys_dom = keys.reshape(-1)
+        rank_dom = jnp.broadcast_to(rank[:, None], (c, m)).reshape(-1)
+        flats_dom = flats.reshape(-1)
+        dense_dom = base_flat.reshape(-1)  # dense domain = the full grid
+        in_ov_out = ov_rank_out = None
+
+    want_dense = BWD_REDUCE == "dense"
+    payloads = (flats_dom, dense_dom) if want_dense else (flats_dom,)
+    if packable:
         # pack (tile, depth-rank) into one int32 key — the comparator
         # orders by tile then by depth within the tile, exactly like a
         # stable sort of depth-sorted duplicates — and carry the FLAT
         # duplicate id as the sort payload (original index = flat // M)
         # so downstream gathers/scatters need no sorted->original
         # translation
-        packed = (keys << rank_bits) | rank[:, None]
-        sorted_packed, sorted_flat = jax.lax.sort(
-            (packed.reshape(-1), flats.reshape(-1)),
-            num_keys=1,
-            is_stable=False,
+        packed = (keys_dom << rank_bits) | rank_dom
+        sorted_packed, sorted_flat, *rest = jax.lax.sort(
+            (packed,) + payloads, num_keys=1, is_stable=False
         )
         sorted_keys = (sorted_packed >> rank_bits).astype(jnp.int32)
     else:
-        sorted_keys, _, sorted_flat = jax.lax.sort(
-            (
-                keys.reshape(-1),
-                jnp.broadcast_to(rank[:, None], (c, m)).reshape(-1),
-                flats.reshape(-1),
-            ),
+        sorted_keys, _, sorted_flat, *rest = jax.lax.sort(
+            (keys_dom, rank_dom) + payloads,
             num_keys=2,
             is_stable=False,
         )
+    sorted_dense = rest[0] if want_dense else None
     sorted_orig = jnp.minimum(sorted_flat // m, c - 1)
     tile_offsets = jnp.searchsorted(
         sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
@@ -360,6 +413,9 @@ def bin_gaussians(
         counts=counts,
         num_overflow=num_overflow,
         n_gt=n_gt,
+        dense=sorted_dense,
+        in_ov=in_ov_out,
+        ov_rank=ov_rank_out,
     )
 
 
@@ -480,7 +536,11 @@ def _interpret_default() -> bool:
 
 
 def _ov_capacity(c: int, ov_frac: float) -> int:
-    return min(c, max(int(c * ov_frac), 128))
+    # 256-aligned so the dense backward reduction's Pallas group-reduce
+    # gets a large power-of-two grid block over the B population
+    cap = max(int(c * ov_frac), 128)
+    cap = -(-cap // 256) * 256
+    return min(c, cap)
 
 
 def _prepare(
@@ -511,6 +571,12 @@ def _prepare(
         num_isects=binning.num_isects,
         counts=binning.counts,
         num_overflow=binning.num_overflow,
+        # the dense side-channel stays FULL-length: the backward's inverse
+        # permutation needs every sort-domain entry (positions beyond the
+        # cap map to a guaranteed-zero gradient row)
+        dense=binning.dense,
+        in_ov=binning.in_ov,
+        ov_rank=binning.ov_rank,
     )
     g9 = jnp.concatenate(
         [means2d, conics, colors, opacities[:, None]], axis=1
@@ -603,15 +669,79 @@ def _core_bwd(
     c = radii.shape[0]
     icap = binning.isect_flat.shape[0]
     m = max_tiles_w * max_tiles_h
+    truncated = binning.num_isects > icap
+    if binning.dense is not None:
+        # DENSE reduction: the sort domain is a permutation of dense
+        # duplicate slots (Binning.dense docs). One cheap sort inverts it
+        # (q[slot] = tile-order position), one gather moves gradient rows
+        # into the dense grid — where each Gaussian's rows are CONTIGUOUS
+        # with a static stride, so the per-Gaussian sum is a reshape-sum.
+        # Replaces the scan path's flat sort + permutation gather +
+        # log-step segmented scan + feature-major transpose + starts
+        # gather (the transpose + starts gather alone measured ~49 ms at
+        # 1M Gaussians).
+        d_total = binning.dense.shape[0]
+        _, q = jax.lax.sort(
+            (binning.dense, jnp.arange(d_total, dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=False,
+        )
+        # positions >= icap (dead slots, truncated tail) and rows the
+        # kernel never wrote are zeros: dfeats rows [icap, i_pad) are
+        # untouched by every tile window (tile_offsets are clamped to
+        # icap and icap is CHUNK-aligned), so clamping to icap lands on a
+        # guaranteed-zero row
+        # gather FULL 128-lane rows (composing a lane slice into the
+        # gather — dfeats[q, :12] — lowers to a ~200x slower XLA gather:
+        # measured 14.5 s vs 75 ms at D=6M); reduce at full width in the
+        # streaming Pallas kernel and slice the 12 live lanes at the end
+        # (XLA's reshape+reduce for this pattern measured ~15x off HBM
+        # bandwidth)
+        from .pallas.group_reduce import group_reduce
+
+        rows = dfeats[jnp.minimum(q, icap)]  # [D, 128]
+        if binning.in_ov is not None:
+            # two-population: D = C*b_small + ov_cap*M (same statics the
+            # binning used)
+            ov_cap = _ov_capacity(c, ov_frac)
+            b_eff = (d_total - ov_cap * m) // c
+            dsum128 = group_reduce(
+                rows[: c * b_eff], b_eff, interpret=interpret
+            )
+            ov_sum = group_reduce(
+                rows[c * b_eff :], m, interpret=interpret
+            )
+            # fold B sums back by GATHER (each gaussian knows its B slot
+            # via the cumsum rank): ~4x cheaper than the slot->gaussian
+            # scatter at this scale
+            fold = ov_sum[jnp.minimum(binning.ov_rank, ov_cap - 1)]
+            dsum128 = dsum128 + jnp.where(
+                binning.in_ov[:, None], fold, 0.0
+            )
+        else:
+            dsum128 = group_reduce(rows, m, interpret=interpret)
+        dsum = jnp.where(truncated, 0.0, dsum128[:, :12])
+        v_m2d = dsum[:, 0:2]
+        v_conic = dsum[:, 2:5]
+        v_opac = dsum[:, 5]
+        v_color = dsum[:, 6:9]
+        v_abs = dsum[:, 9:11]
+        zero_radii = jnp.zeros_like(radii)
+        zero_depths = jnp.zeros_like(depths)
+        return (
+            v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths, v_abs
+        )
     # Reduce per-intersection rows to per-Gaussian rows WITHOUT a
     # duplicate-index scatter-add (measured 15 ns/row on chip — the single
     # most expensive op of the old backward). Instead:
     #   1. sort (flat_id, iota): groups each Gaussian's <=M rows
     #      contiguously in flat order, dead lanes (flat = C*M) last;
-    #   2. one I-row gather into that order (4 ns/row);
-    #   3. segmented log-step suffix scan in feature-major space sums
-    #      each group onto its first row (<=M rows per group => ceil(log2
-    #      M) shift passes over a [12, I] array);
+    #   2. one FULL-WIDTH I-row gather into that order (row-major; a
+    #      12-lane-sliced source lowers to a ~1.7x slower gather, and
+    #      the round-2 feature-major variant paid two [12, I]
+    #      transposes — measured chain 115 ms vs 98 ms at icap=2.56M);
+    #   3. segmented log-step suffix scan over rows sums each group onto
+    #      its first row (<=M rows per group => ceil(log2 M) passes);
     #   4. gather the C group-start rows (positions = exclusive cumsum of
     #      the binning's live counts).
     # Exact whenever num_isects <= isect_cap; on a truncated step the
@@ -624,29 +754,54 @@ def _core_bwd(
         num_keys=1,
         is_stable=False,
     )
-    rows = dfeats[:icap, :12][p]  # [I, 12] orig-grouped (cheap row gather)
-    rt = jnp.swapaxes(rows, 0, 1)  # [12, I] feature-major
     g = flat_asc // m  # [I] group id (dead lanes -> c)
-    k = 1
-    while k < m:
-        g_ahead = jnp.concatenate(
-            [g[k:], jnp.full((k,), -1, jnp.int32)]
-        )
-        same = (g_ahead == g)[None, :]
-        rt_ahead = jnp.concatenate(
-            [rt[:, k:], jnp.zeros((rt.shape[0], k), rt.dtype)], axis=1
-        )
-        rt = rt + jnp.where(same, rt_ahead, 0.0)
-        k *= 2
-    sums = jnp.swapaxes(rt, 0, 1)  # [I, 12]; group sums at group starts
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(binning.counts)[:-1]]
     )
-    truncated = binning.num_isects > icap
     have = (binning.counts > 0) & jnp.logical_not(truncated)
-    dsum = jnp.where(
-        have[:, None], sums[jnp.minimum(starts, icap - 1)], 0.0
-    )  # [C, 12]
+    # the scan layout is scale-dependent (icap is static, so this is a
+    # trace-time switch): row-major full-width wins at large icap
+    # (measured 169.9 vs 188.1 ms/step at 1M Gaussians — no [12, I]
+    # transposes, faster gather), but LOSES at small icap where XLA
+    # fuses the feature-major variant better (38.7 vs 29.3 ms at 100k —
+    # the round-2 "wide-gather" negative result)
+    if icap >= 1_500_000:
+        rows = dfeats[p]  # [I, 128] orig-grouped (full-width row gather)
+        k = 1
+        while k < m:
+            g_ahead = jnp.concatenate(
+                [g[k:], jnp.full((k,), -1, jnp.int32)]
+            )
+            same = (g_ahead == g)[:, None]
+            rows_ahead = jnp.concatenate(
+                [rows[k:], jnp.zeros((k, rows.shape[1]), rows.dtype)],
+                axis=0,
+            )
+            rows = rows + jnp.where(same, rows_ahead, 0.0)
+            k *= 2
+        dsum = jnp.where(
+            have[:, None],
+            rows[jnp.minimum(starts, icap - 1)][:, :12],
+            0.0,
+        )  # [C, 12]
+    else:
+        rows = dfeats[:icap, :12][p]  # [I, 12] orig-grouped
+        rt = jnp.swapaxes(rows, 0, 1)  # [12, I] feature-major
+        k = 1
+        while k < m:
+            g_ahead = jnp.concatenate(
+                [g[k:], jnp.full((k,), -1, jnp.int32)]
+            )
+            same = (g_ahead == g)[None, :]
+            rt_ahead = jnp.concatenate(
+                [rt[:, k:], jnp.zeros((rt.shape[0], k), rt.dtype)], axis=1
+            )
+            rt = rt + jnp.where(same, rt_ahead, 0.0)
+            k *= 2
+        sums = jnp.swapaxes(rt, 0, 1)  # [I, 12]; sums at group starts
+        dsum = jnp.where(
+            have[:, None], sums[jnp.minimum(starts, icap - 1)], 0.0
+        )  # [C, 12]
 
     v_m2d = dsum[:, 0:2]
     v_conic = dsum[:, 2:5]

@@ -15,9 +15,14 @@ not fit one chip's HBM next to its optimizer state:
   stripe contributions and re-shards them, so each chip updates only its
   parameter shard — the collective cost is one all-gather + one
   reduce-scatter per step, the canonical ZeRO/FSDP exchange;
-- densification statistics live sharded; the (rare, every
-  ``refine_every``) densify event gathers state host-side, reuses the
-  single-device engine, and re-shards.
+- densification runs DEVICE-RESIDENT and shard-local
+  (:func:`make_sharded_densify_step`): each chip clones/splits/prunes
+  within its own capacity shard (slot position carries no semantics, so
+  filling shard-local free slots is equivalent to the reference's global
+  append, ``/root/reference/model/gaussian.py:199-257``), with info
+  counts and the overflow flag ``psum``-aggregated. No host gather: at
+  the 10M-Gaussian scale a gather/reshard would move multi-GB over PCIe
+  every ``refine_every`` steps.
 
 Works with both the oracle and the production tiled Pallas renderer (the
 per-chip intersection count rides the loss dict as ``isects``, see
@@ -292,3 +297,135 @@ def make_gauss_sharded_train_step(
         return model_new, AdamState(mu=mu, nu=nu, steps=steps), ld
 
     return step
+
+def make_sharded_densify_step(dcfg, mesh):
+    """Device-resident densify/prune over Gaussian-sharded state.
+
+    Reuses the single-device engine (``models/density.py``) per shard
+    inside ``shard_map``: clone/split targets fill free slots of the
+    parent's OWN shard (slot position carries no semantics — the
+    reference appends at the end, ``/root/reference/model/
+    gaussian.py:199-235``; any free slot is equivalent). The split-sample
+    RNG key is folded per shard. Info counts are ``psum``-aggregated;
+    overflow is global-any, so the host grows capacity when ANY shard
+    runs out of free slots (shard-local imbalance can trigger growth
+    earlier than a global engine would — capacity is cheap relative to a
+    multi-GB host round trip every refine).
+    """
+    from ..models.density import densify_and_prune
+    from ..models.gaussians import GaussianModelState as _State
+
+    axis = mesh.axis_names[0]
+
+    def per_chip(params, alive, stats, mu, nu, steps, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        state = _State(params=params, alive=alive, stats=stats)
+        adam = AdamState(mu=mu, nu=nu, steps=steps)
+        new_state, new_adam, info, overflow = densify_and_prune(
+            state, adam, key, dcfg
+        )
+        info = {k: jax.lax.psum(v, axis) for k, v in info.items()}
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        return (
+            new_state.params, new_state.alive, new_state.stats,
+            new_adam.mu, new_adam.nu, new_adam.steps, info, overflow,
+        )
+
+    @jax.jit
+    def step(model, adam, key):
+        fn = shard_map(
+            per_chip,
+            mesh=mesh,
+            in_specs=(
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(),
+            ),
+            out_specs=(
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(), P(),
+            ),
+            check_vma=False,
+        )
+        params, alive, stats, mu, nu, steps, info, overflow = fn(
+            model.params, model.alive, model.stats,
+            adam.mu, adam.nu, adam.steps, key,
+        )
+        from ..models.gaussians import GaussianModelState as _S
+
+        return (
+            _S(params=params, alive=alive, stats=stats),
+            AdamState(mu=mu, nu=nu, steps=steps),
+            info,
+            overflow,
+        )
+
+    return step
+
+
+def grow_state_sharded(state, adam, new_capacity: int, mesh):
+    """Grow capacity with PER-SHARD padding: each shard gains
+    ``(new_capacity - capacity) / n_shards`` free slots, so shard-local
+    densification stays balanced (a global end-pad would hand every free
+    slot to the last shard). Device-resident; mirrors
+    ``models.gaussians.grow_capacity`` padding (identity quats, zeros,
+    dead alive bits; Adam moments zero)."""
+    from ..models.gaussians import GaussianModelState as _State
+    from ..models.gaussians import GaussianParams
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.shape[0]
+    old = state.capacity
+    if new_capacity % n != 0 or old % n != 0:
+        raise ValueError(
+            f"capacities {old}->{new_capacity} must be divisible by the "
+            f"gauss mesh size {n}"
+        )
+    extra = new_capacity // n - old // n
+
+    def per_chip(params, alive, stats, mu, nu):
+        def pad(x):
+            return jnp.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))
+
+        def pad_params(p):
+            return GaussianParams(
+                means=pad(p.means),
+                log_scales=pad(p.log_scales),
+                quats=jnp.concatenate(
+                    [
+                        p.quats,
+                        jnp.tile(
+                            jnp.array([[1.0, 0, 0, 0]], jnp.float32),
+                            (extra, 1),
+                        ),
+                    ],
+                    axis=0,
+                ),
+                sh_0=pad(p.sh_0),
+                sh_rest=pad(p.sh_rest),
+                logit_opacities=pad(p.logit_opacities),
+            )
+
+        return (
+            pad_params(params),
+            pad(alive),
+            jax.tree.map(pad, stats),
+            jax.tree.map(pad, mu),
+            jax.tree.map(pad, nu),
+        )
+
+    @jax.jit
+    def grow(model, adam):
+        fn = shard_map(
+            per_chip,
+            mesh=mesh,
+            in_specs=(P(axis),) * 5,
+            out_specs=(P(axis),) * 5,
+            check_vma=False,
+        )
+        params, alive, stats, mu, nu = fn(
+            model.params, model.alive, model.stats, adam.mu, adam.nu
+        )
+        return (
+            _State(params=params, alive=alive, stats=stats),
+            AdamState(mu=mu, nu=nu, steps=adam.steps),
+        )
+
+    return grow(state, adam)

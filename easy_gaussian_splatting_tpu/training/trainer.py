@@ -201,8 +201,8 @@ def make_grad_fn(cfg: Config, render_fn: Callable):
     return grad_fn
 
 
-def make_densify_step(cfg: Config):
-    dcfg = DensifyConfig(
+def _dcfg(cfg: Config) -> DensifyConfig:
+    return DensifyConfig(
         densify_grad_thresh=cfg.densify_grad_thresh,
         densify_scale_thresh=cfg.densify_scale_thresh,
         num_splits=cfg.num_splits,
@@ -210,6 +210,10 @@ def make_densify_step(cfg: Config):
         prune_scale_thresh=cfg.prune_scale_thresh,
         min_opacity=cfg.min_opacity,
     )
+
+
+def make_densify_step(cfg: Config):
+    dcfg = _dcfg(cfg)
 
     @jax.jit
     def densify_step(model, adam, key):
@@ -288,6 +292,62 @@ def run_densify_with_growth(
         logger.info(f"densify overflow: growing capacity {cap} -> {new_cap}")
         loop.model = grow_capacity(loop.model, new_cap)
         loop.adam = grow_adam_state(loop.adam, new_cap - cap)
+
+
+def run_sharded_densify_with_growth(
+    loop: TrainLoopState,
+    sharded_densify_step,
+    key,
+    cfg: Config,
+    mesh,
+) -> Dict[str, int]:
+    """Device-resident densify under the gauss mesh. On free-slot
+    overflow of ANY shard, grow capacity per-shard
+    (``grow_state_sharded``) and retry — shard-local imbalance can
+    trigger growth earlier than the global engine, which is the price of
+    never gathering multi-GB state to the host. Capacity compaction is
+    skipped under the mesh (it would need a global permutation)."""
+    from ..parallel.gauss_shard import grow_state_sharded
+
+    n_shards = mesh.devices.shape[0]
+
+    def _aligned(cap: int) -> int:
+        return cap - cap % n_shards
+
+    while True:
+        new_model, new_adam, info, overflow = sharded_densify_step(
+            loop.model, loop.adam, key
+        )
+        if not bool(overflow):
+            n = int(info["nbr_gaussians"])
+            cap = loop.model.capacity
+            new_cap = _aligned(min(cap * 2, cfg.max_capacity))
+            if n > 0.85 * cap and new_cap > cap:
+                logger.info(
+                    f"growing capacity {cap} -> {new_cap} "
+                    f"({n} gaussians alive, {n_shards} shards)"
+                )
+                loop.model, loop.adam = grow_state_sharded(
+                    new_model, new_adam, new_cap, mesh
+                )
+            else:
+                loop.model, loop.adam = new_model, new_adam
+            return {k: int(v) for k, v in info.items()}
+        cap = loop.model.capacity
+        new_cap = _aligned(min(cap * 2, cfg.max_capacity))
+        if new_cap <= cap:
+            logger.warning(
+                f"densify overflow at max capacity {cap}; dropping excess"
+            )
+            loop.model, loop.adam = new_model, new_adam
+            return {k: int(v) for k, v in info.items()}
+        logger.info(
+            f"densify overflow: growing capacity {cap} -> {new_cap} "
+            f"({n_shards} shards)"
+        )
+        loop.model, loop.adam = grow_state_sharded(
+            loop.model, loop.adam, new_cap, mesh
+        )
 
 
 def train(
@@ -451,7 +511,8 @@ def train(
         )
         n, n_ov = int(vals[0]), int(vals[1])
         cap = loop.model.capacity
-        want = round(max(0.25, n * 1.3 / cap), 3)
+        max_mult = (cfg.isect_hbm_budget_mb * 1e6 / 576) / max(cap, 1)
+        want = round(min(max(0.25, n * 1.3 / cap), max_mult), 3)
         # choose the small-population budget + overflow fraction jointly
         # to minimize the binning sort domain C*b + M*ov_capacity — the
         # dominant cost at large N. The overflow population is pure
@@ -510,7 +571,23 @@ def train(
                     {"train/overflow_steps": overflow_steps},
                 )
         if n > 0.85 * cap:
-            cfg.isect_mult *= 2
+            # bound growth by the per-intersection HBM budget (~576 B per
+            # slot: feature matrix [16, icap] f32 + backward gradient
+            # rows [icap, 128] f32) so repeated doublings cannot OOM the
+            # chip; capped steps keep zeroing overflowed gradients, which
+            # is lossy but recoverable
+            max_mult = (cfg.isect_hbm_budget_mb * 1e6 / 576) / max(
+                loop.model.capacity, 1
+            )
+            want_mult = round(min(cfg.isect_mult * 2, max_mult), 3)
+            if want_mult <= cfg.isect_mult:
+                logger.warning(
+                    f"intersections {n} near capacity {cap:.0f} but "
+                    f"isect_mult {cfg.isect_mult} is at the HBM budget "
+                    f"({cfg.isect_hbm_budget_mb} MB) — not growing"
+                )
+                return
+            cfg.isect_mult = want_mult
             logger.info(
                 f"intersections {n} near capacity {cap:.0f}: raising "
                 f"isect_mult to {cfg.isect_mult} (recompile)"
@@ -552,6 +629,7 @@ def train(
         maybe_grow_isect_mult(n, loop.step)
 
     densify_step = make_densify_step(cfg)
+    sharded_densify_step = None  # built lazily under a gauss mesh
     means_lr = log_lerp_schedule(
         cfg.means_lr_init, cfg.means_lr_final, cfg.means_lr_schedule_max_steps
     )
@@ -768,7 +846,10 @@ def train(
             for k, v in metrics.items():
                 if "render" in k:
                     all_tb_info[f"render/{k}"] = v
-                elif k in ("psnr", "ssim", "lpips", "fps", "latency_ms"):
+                elif k in (
+                    "psnr", "ssim", "lpips", "lpips_proxy", "fps",
+                    "latency_ms",
+                ):
                     all_tb_info[f"eval/{k}"] = v
         _bucket("eval")
 
@@ -777,19 +858,20 @@ def train(
             check_isect_capacity(data)
             key, sub = jax.random.split(key)
             if mesh_mode == "gauss":
-                # gather the sharded state for the (rare) densify event,
-                # run the single-device engine, and re-shard
-                from ..parallel.gauss_shard import shard_state
+                # device-resident shard-local densify (no host gather:
+                # at 10M Gaussians a gather/reshard would move multi-GB
+                # over PCIe every refine_every steps)
+                if sharded_densify_step is None:
+                    from ..parallel.gauss_shard import (
+                        make_sharded_densify_step,
+                    )
 
-                loop.model = jax.device_put(
-                    jax.tree.map(np.asarray, loop.model)
+                    sharded_densify_step = make_sharded_densify_step(
+                        _dcfg(cfg), mesh
+                    )
+                info = run_sharded_densify_with_growth(
+                    loop, sharded_densify_step, sub, cfg, mesh
                 )
-                loop.adam = jax.device_put(
-                    jax.tree.map(np.asarray, loop.adam)
-                )
-                info = run_densify_with_growth(loop, densify_step, sub, cfg)
-                loop.model = shard_state(loop.model, mesh)
-                loop.adam = shard_state(loop.adam, mesh)
             else:
                 info = run_densify_with_growth(loop, densify_step, sub, cfg)
             all_tb_info["train/densify"] = {

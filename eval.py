@@ -78,11 +78,11 @@ def eval(training_output_path: str, iterations: Optional[int] = None):
             num_workers=cfg.dataloader_workers, cache=cache,
         )
         lpips_tag = (
-            "lpips" if evaluator.lpips.kind == "vgg" else "lpips(proxy)"
+            "lpips" if evaluator.lpips.kind == "vgg" else "lpips_proxy"
         )
         logger.info(
             f"evaluation in {set_name:>10s}: psnr={m['psnr']:6.3f}, "
-            f"ssim={m['ssim']:6.3f}, {lpips_tag}={m['lpips']:6.3f}, "
+            f"ssim={m['ssim']:6.3f}, {lpips_tag}={m[lpips_tag]:6.3f}, "
             f"fps={m['fps']:6.3f}, "
             f"latency={m.get('latency_ms', 0.0):6.1f}ms"
         )

@@ -160,10 +160,10 @@ def main():
         scene, "eval", loop.model, loop.active_sh_degree, background
     )
     n_alive = int(loop.model.num_alive())
-    lpips_tag = "lpips" if evaluator.lpips.kind == "vgg" else "lpips(proxy)"
+    lpips_tag = "lpips" if evaluator.lpips.kind == "vgg" else "lpips_proxy"
     print(
         f"RESULT: psnr={m['psnr']:.2f} ssim={m['ssim']:.4f} "
-        f"{lpips_tag}={m['lpips']:.4f} fps={m['fps']:.2f} "
+        f"{lpips_tag}={m[lpips_tag]:.4f} fps={m['fps']:.2f} "
         f"gaussians={n_alive}"
     )
     if m["psnr"] < args.min_psnr:

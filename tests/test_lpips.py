@@ -137,3 +137,83 @@ def test_get_lpips_loads_real_weights_file(tmp_path, monkeypatch):
     b = rng.uniform(size=(16, 16, 3)).astype(np.float32)
     assert lp(a, b) > 0.0
     get_lpips.cache_clear()
+
+class _FakeScene:
+    """Minimal Scene stand-in for evaluator metric-key tests."""
+
+    def __init__(self, size=16):
+        rng = np.random.default_rng(0)
+        self._data = {
+            "height": size,
+            "width": size,
+            "w2c": np.eye(4, dtype=np.float32),
+            "K": np.array(
+                [[size, 0, size / 2], [0, size, size / 2], [0, 0, 1]],
+                np.float32,
+            ),
+            "image": rng.uniform(size=(size, size, 3)).astype(np.float32),
+            "mask": np.zeros((size, size), np.float32),
+        }
+
+    def nbr_data(self, split):
+        return 1
+
+    def get_data(self, split, idx):
+        return dict(self._data)
+
+
+def _run_evaluator_once():
+    import jax.numpy as jnp
+
+    from easy_gaussian_splatting_tpu.evaluation.evaluator import Evaluator
+    from easy_gaussian_splatting_tpu.models.render import RenderOutput
+
+    def render_fn(params, alive, camera, sh_degree, background, absd):
+        img = jnp.broadcast_to(
+            background[None, None, :], (camera.height, camera.width, 3)
+        )
+        return RenderOutput(
+            image=img,
+            alpha=jnp.zeros((camera.height, camera.width)),
+            radii=jnp.zeros((4,)),
+        )
+
+    from easy_gaussian_splatting_tpu.models.gaussians import (
+        init_gaussian_state,
+    )
+
+    model = init_gaussian_state(
+        np.zeros((4, 3), np.float32),
+        np.zeros((4, 3), np.uint8),
+        sh_degree=1,
+    )
+    ev = Evaluator(eval_render_num=1, render_fn=render_fn)
+    metrics = ev.evaluate(
+        _FakeScene(),
+        "eval",
+        model,
+        1,
+        jnp.zeros((3,), jnp.float32),
+        num_workers=0,
+    )
+    return ev, metrics
+
+
+def test_evaluator_emits_lpips_proxy_key_for_proxy_weights(monkeypatch):
+    monkeypatch.delenv("EGS_TPU_LPIPS_WEIGHTS", raising=False)
+    get_lpips.cache_clear()
+    ev, metrics = _run_evaluator_once()
+    assert ev.lpips.kind == "proxy"
+    assert "lpips_proxy" in metrics and "lpips" not in metrics
+    get_lpips.cache_clear()
+
+
+def test_evaluator_emits_lpips_key_for_real_weights(tmp_path, monkeypatch):
+    path = tmp_path / "w.npz"
+    np.savez(path, **proxy_weights(seed=3))
+    monkeypatch.setenv("EGS_TPU_LPIPS_WEIGHTS", str(path))
+    get_lpips.cache_clear()
+    ev, metrics = _run_evaluator_once()
+    assert ev.lpips.kind == "vgg"
+    assert "lpips" in metrics and "lpips_proxy" not in metrics
+    get_lpips.cache_clear()

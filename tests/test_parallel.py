@@ -340,3 +340,134 @@ def test_train_loop_tiles_mesh(tmp_path):
     loop = train(cfg)
     assert loop.step == 8
     assert int(loop.model.num_alive()) > 0
+
+
+def _densify_setup(seed=0):
+    """Model + crafted stats that trigger clones, splits, and prunes."""
+    from easy_gaussian_splatting_tpu.models.gaussians import DensifyStats
+
+    rng = np.random.default_rng(seed)
+    xyzs = rng.uniform(-1, 1, size=(40, 3)).astype(np.float32)
+    rgbs = rng.integers(0, 256, size=(40, 3)).astype(np.uint8)
+    model = init_gaussian_state(xyzs, rgbs, sh_degree=1, capacity=64)
+    adam = init_adam_state(model.params)
+    # shard layout on a 4-mesh is 4x16 rows; keep the clone/split/prune
+    # rows in a shard WITH free slots (shard-local densify allocates
+    # children in the parent's shard)
+    accum = np.zeros(64, np.float32)
+    accum[32:36] = 100.0  # rows 32-33 clone, 34-35 split (big scale)
+    counts = np.ones(64, np.float32)
+    stats = DensifyStats(
+        grad_norm_accum=jnp.asarray(accum),
+        collecting_counts=jnp.asarray(counts),
+        max_radii=jnp.zeros(64),
+    )
+    logit = np.asarray(model.params.logit_opacities).copy()
+    logit[36:38] = -12.0  # opacity ~ 6e-6 < min_opacity -> pruned
+    log_scales = np.asarray(model.params.log_scales).copy()
+    log_scales[34:36] = 1.0  # big -> split
+    import dataclasses
+
+    params = dataclasses.replace(
+        model.params,
+        logit_opacities=jnp.asarray(logit),
+        log_scales=jnp.asarray(log_scales),
+    )
+    model = dataclasses.replace(model, params=params, stats=stats)
+    return model, adam
+
+
+def _dcfg_fixture(scale_thresh=0.5):
+    from easy_gaussian_splatting_tpu.models.density import DensifyConfig
+
+    return DensifyConfig(
+        densify_grad_thresh=1.0,
+        densify_scale_thresh=scale_thresh,
+        num_splits=2,
+        prune_radii_ratio_thresh=10.0,
+        prune_scale_thresh=100.0,
+        min_opacity=0.005,
+    )
+
+
+def _sorted_rows(x):
+    x = np.asarray(x).reshape(len(x), -1)
+    return x[np.lexsort(x.T[::-1])]
+
+
+def test_sharded_densify_matches_single_device():
+    """Shard-local densify == single-device engine up to slot placement
+    and split-sample RNG: identical info counts, identical alive-row
+    multisets for everything RNG-independent (clone/survivor rows;
+    split children's scales/quats are parent-derived)."""
+    from easy_gaussian_splatting_tpu.models.density import densify_and_prune
+    from easy_gaussian_splatting_tpu.parallel.gauss_shard import (
+        make_sharded_densify_step,
+    )
+
+    dcfg = _dcfg_fixture()
+    key = jax.random.PRNGKey(3)
+
+    model, adam = _densify_setup()
+    s1, a1, info1, ov1 = jax.jit(
+        lambda m, a, k: densify_and_prune(m, a, k, dcfg)
+    )(model, adam, key)
+
+    mesh = make_mesh(4)
+    model2, adam2 = _densify_setup()
+    step = make_sharded_densify_step(dcfg, mesh)
+    s2, a2, info2, ov2 = step(
+        shard_state(model2, mesh), shard_state(adam2, mesh), key
+    )
+
+    assert not bool(ov1) and not bool(ov2)
+    for k_ in info1:
+        assert int(info1[k_]) == int(info2[k_]), k_
+    alive1 = np.asarray(s1.alive)
+    alive2 = np.asarray(s2.alive)
+    assert alive1.sum() == alive2.sum()
+    # RNG-independent per-row payloads must match as multisets
+    for field in ("quats", "logit_opacities", "sh_0"):
+        v1 = np.asarray(getattr(s1.params, field))[alive1]
+        v2 = np.asarray(getattr(s2.params, field))[alive2]
+        np.testing.assert_allclose(
+            _sorted_rows(v1), _sorted_rows(v2), atol=1e-6,
+            err_msg=field,
+        )
+    # scales are parent-derived even for splits (shrunk by 0.8*ns)
+    np.testing.assert_allclose(
+        _sorted_rows(np.asarray(s1.params.log_scales)[alive1]),
+        _sorted_rows(np.asarray(s2.params.log_scales)[alive2]),
+        atol=1e-6,
+    )
+
+
+def test_sharded_densify_growth_and_trainer_loop_path():
+    """grow_state_sharded pads each shard equally and preserves content;
+    the trainer's sharded growth loop retries overflow without a host
+    gather."""
+    from easy_gaussian_splatting_tpu.parallel.gauss_shard import (
+        grow_state_sharded,
+    )
+
+    mesh = make_mesh(4)
+    model, adam = _densify_setup()
+    smodel = shard_state(model, mesh)
+    sadam = shard_state(adam, mesh)
+    g_model, g_adam = grow_state_sharded(smodel, sadam, 128, mesh)
+    assert g_model.capacity == 128
+    # per-shard layout: each 32-row shard = old 16-row shard + 16 dead
+    alive = np.asarray(g_model.alive).reshape(4, 32)
+    old_alive = np.asarray(model.alive).reshape(4, 16)
+    np.testing.assert_array_equal(alive[:, :16], old_alive)
+    assert not alive[:, 16:].any()
+    np.testing.assert_allclose(
+        _sorted_rows(np.asarray(g_model.params.means)[
+            np.asarray(g_model.alive)]),
+        _sorted_rows(np.asarray(model.params.means)[
+            np.asarray(model.alive)]),
+        atol=0,
+    )
+    # moments of the new slots are zero
+    mu = np.asarray(g_adam.mu.means).reshape(4, 32, 3)
+    assert not mu[:, 16:].any()
