@@ -53,6 +53,14 @@ def main():
         "(generation is deterministic per settings; big GT scenes take "
         "minutes to render)",
     )
+    parser.add_argument(
+        "--reference-schedule", action="store_true",
+        help="use the reference's exact 30k training schedule "
+        "(/root/reference/configs/nerf_synthetic.yaml: eval/sh bumps "
+        "every 2000, refine 500-15000 every 200, opacity reset every "
+        "2000, checkpoints at 7000 and total) instead of the compressed "
+        "schedule derived from --iters",
+    )
     args = parser.parse_args()
 
     from easy_gaussian_splatting_tpu.training.config import config_from_dict
@@ -103,24 +111,42 @@ def main():
         fmt_keys["use_masks"] = True
 
     iters = args.iters
-    cfg = config_from_dict(
-        dict(
-            data=str(data_dir),
-            output=str(out_dir),
-            total_iterations=iters,
-            save_model_iterations=[iters],
-            eval=True,
+    if args.reference_schedule:
+        schedule = dict(
+            eval_every=2000,
+            eval_render_num=1,
+            sh_degree_interval=2000,
+            refine_start=500,
+            refine_stop=15000,
+            refine_every=200,
+            reset_opacities_every=2000,
+            save_model_iterations=sorted(
+                {i for i in (7000, iters) if i <= iters}
+            ),
+            log_every=200,
+        )
+    else:
+        schedule = dict(
             eval_every=max(200, iters // 4),
             eval_render_num=1,
-            sh_degree=3,
             sh_degree_interval=max(100, iters // 8),
             refine_start=100,
             refine_stop=int(iters * 0.6),
             refine_every=100,
             reset_opacities_every=max(600, iters // 3),
+            save_model_iterations=[iters],
             log_every=100,
+        )
+    cfg = config_from_dict(
+        dict(
+            data=str(data_dir),
+            output=str(out_dir),
+            total_iterations=iters,
+            eval=True,
+            sh_degree=3,
             renderer=args.renderer,
             dataloader_workers=2,
+            **schedule,
             **fmt_keys,
         )
     )
