@@ -41,7 +41,12 @@ import jax.numpy as jnp
 from .projection import CameraIntrinsics, project_gaussians
 
 # Backward per-Gaussian gradient reduction strategy (A/B via env):
-#   "scan" (default): flat-sort + permutation gather + segmented
+#   "pallas" (default): flat-sort + permutation gather + streaming
+#     Pallas segment-sum-with-compaction + monotone-expand kernels
+#     (ops/pallas/segments.py) — replaces the XLA segmented scan
+#     (measured 71 ms isolated at icap=2.56M) and the C-row
+#     group-start gather (45 ms) with two bandwidth-bound kernels.
+#   "scan": flat-sort + permutation gather + XLA segmented
 #     reduction over the COMPACT intersection capacity (~1.3x the live
 #     intersection count).
 #   "dense": carry each sort entry's DENSE duplicate-slot id through the
@@ -52,6 +57,7 @@ from .projection import CameraIntrinsics, project_gaussians
 #     sort domain, 6.5M there) is ~2.5x the intersection capacity, and
 #     every dense-path gather/reduce scales with D. Kept switchable for
 #     regimes where D ~ icap (large small_budget occupancy).
+# default "scan" until the pallas kernels are A/B'd on the real chip
 BWD_REDUCE = os.environ.get("EGS_TPU_BWD_REDUCE", "scan")
 
 DEFAULT_TILE = 32
@@ -759,6 +765,45 @@ def _core_bwd(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(binning.counts)[:-1]]
     )
     have = (binning.counts > 0) & jnp.logical_not(truncated)
+    if BWD_REDUCE == "pallas":
+        from .pallas.segments import R as SEG_R
+        from .pallas.segments import monotone_expand, segsum_compact
+
+        # pad the flat-sorted domain to the segment kernels' block size
+        # (pad rows are zeros in the dead-sentinel group, so sums are
+        # unchanged and group monotonicity is preserved)
+        i_seg = -(-icap // SEG_R) * SEG_R
+        rows = dfeats[p]  # [I, 128] orig-grouped (full-width gather)
+        rows = jnp.pad(rows, ((0, i_seg - icap), (0, 0)))
+        g_pad = jnp.pad(g, (0, i_seg - icap), constant_values=c)
+        compact = segsum_compact(rows, g_pad, interpret=interpret)
+
+        present = binning.counts > 0
+        rank = jnp.cumsum(present.astype(jnp.int32)) - present.astype(
+            jnp.int32
+        )
+        c_seg = -(-c // SEG_R) * SEG_R
+        # pad ranks with the total (keeps the monotone stride <= 1
+        # contract), padding marked absent
+        n_valid = rank[-1] + present[-1].astype(jnp.int32)
+        rank = jnp.concatenate(
+            [rank, jnp.full((c_seg - c,), 1, jnp.int32) * n_valid]
+        )
+        present_pad = jnp.pad(present, (0, c_seg - c))
+        dsum128 = monotone_expand(
+            compact, rank, present_pad, interpret=interpret
+        )[:c]
+        dsum = jnp.where(truncated, 0.0, dsum128[:, :12])
+        v_m2d = dsum[:, 0:2]
+        v_conic = dsum[:, 2:5]
+        v_opac = dsum[:, 5]
+        v_color = dsum[:, 6:9]
+        v_abs = dsum[:, 9:11]
+        zero_radii = jnp.zeros_like(radii)
+        zero_depths = jnp.zeros_like(depths)
+        return (
+            v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths, v_abs
+        )
     # the scan layout is scale-dependent (icap is static, so this is a
     # trace-time switch): row-major full-width wins at large icap
     # (measured 169.9 vs 188.1 ms/step at 1M Gaussians — no [12, I]
