@@ -28,7 +28,7 @@ BASELINE_ITERS_PER_SEC = 10.0
 DEFAULT_PROBE_NS = (100_000, 1_000_000, 3_000_000)
 
 
-def bench_point(n, h, w, tile_size=32, margin=1.3, iters=30):
+def bench_point(n, h, w, tile_size=32, margin=1.3, iters=30, batch=1):
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +44,7 @@ def bench_point(n, h, w, tile_size=32, margin=1.3, iters=30):
     from easy_gaussian_splatting_tpu.training.config import config_from_dict
     from easy_gaussian_splatting_tpu.training.trainer import (
         get_render_fn,
+        make_batched_train_step,
         make_train_step,
     )
 
@@ -80,17 +81,38 @@ def bench_point(n, h, w, tile_size=32, margin=1.3, iters=30):
         )
         if best_dom is None or dom < best_dom:
             cfg.small_budget, cfg.ov_frac, best_dom = bb, ovf, dom
-    step_fn = make_train_step(cfg, get_render_fn(cfg))
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mask = jnp.zeros((h, w), jnp.float32)
-
-    def one(model, adam):
-        return step_fn(
-            model, adam, w2c, K, image, mask,
-            np.float32(1e-3), np.bool_(True), np.bool_(False),
-            np.bool_(False),
-            height=h, width=w, sh_degree=3,
+    if batch > 1:
+        # multi-camera step: B distinct views per jitted dispatch
+        step_fn = make_batched_train_step(cfg, get_render_fn(cfg))
+        w2cs = jnp.stack(
+            [w2c.at[0, 3].add(0.05 * i) for i in range(batch)]
         )
+        Ks = jnp.stack([K] * batch)
+        images = jnp.stack(
+            [jnp.roll(image, i, axis=0) for i in range(batch)]
+        )
+        masks = jnp.stack([mask] * batch)
+
+        def one(model, adam):
+            return step_fn(
+                model, adam, w2cs, Ks, images, masks,
+                np.float32(1e-3), np.bool_(True), np.bool_(False),
+                np.bool_(False),
+                height=h, width=w, sh_degree=3,
+            )
+
+    else:
+        step_fn = make_train_step(cfg, get_render_fn(cfg))
+
+        def one(model, adam):
+            return step_fn(
+                model, adam, w2c, K, image, mask,
+                np.float32(1e-3), np.bool_(True), np.bool_(False),
+                np.bool_(False),
+                height=h, width=w, sh_degree=3,
+            )
 
     # tunnel-honest timing (CLAUDE.md): block_until_ready can return
     # before remote execution completes — fetch a value that depends on
@@ -107,21 +129,29 @@ def bench_point(n, h, w, tile_size=32, margin=1.3, iters=30):
         model, adam, ld = one(model, adam)
     force(model, ld)
     dt = (time.perf_counter() - t0) / iters
-    return {
+    out = {
         "gaussians": n,
         "step_ms": round(dt * 1e3, 2),
-        "it_per_s": round(1.0 / dt, 3),
+        "it_per_s": round(batch / dt, 3),  # views (reference iters) / s
         "isects": n_isect,
-        "mpix_per_s": round(h * w / dt / 1e6, 2),
+        "mpix_per_s": round(batch * h * w / dt / 1e6, 2),
     }
+    if batch > 1:
+        out["camera_batch"] = batch
+    return out
 
 
 def main():
     import jax
 
-    # usage: bench.py [N] [H W] [tile_size] [margin]  (explicit N: single
-    # point — the profiling workflow; no args: the full scale matrix)
-    argv = sys.argv[1:]
+    # usage: bench.py [N] [H W] [tile_size] [margin] [--batch=B]
+    # (explicit N: single point — the profiling workflow; no args: the
+    # full scale matrix)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
     h, w = 800, 800
     tile_size, margin = 32, 1.3
     if len(argv) >= 3:
@@ -139,6 +169,7 @@ def main():
             bench_point(
                 n, h, w, tile_size, margin,
                 iters=30 if n <= 300_000 else 15,
+                batch=batch,
             )
         )
     head = probes[0]

@@ -54,10 +54,21 @@ class DeviceFrameCache:
     """
 
     def __init__(
-        self, scene, split: str, budget_mb: int = 6144, num_workers: int = 4
+        self,
+        scene,
+        split: str,
+        budget_mb: int = 6144,
+        num_workers: int = 4,
+        pad_rows_to: int = 1,
     ):
+        """``pad_rows_to``: pad each frame's height up to a multiple (the
+        mesh stripe count) AT UPLOAD TIME — image pad rows zero, mask pad
+        rows one (= ignored by the mask-compositing loss), so sharded
+        steps read device-resident stripe-ready frames with no per-step
+        host padding or transfer."""
         import jax
 
+        self._pad_rows_to = max(1, int(pad_rows_to))
         indexes = (
             scene.train_indexes if split == "train" else scene.eval_indexes
         )
@@ -91,14 +102,17 @@ class DeviceFrameCache:
         self._slot: Dict[int, Tuple[Tuple[int, int], int]] = {}
         total = 0
         for (h, w), positions in groups.items():
-            imgs = np.empty((len(positions), h, w, 3), np.float32)
-            masks = np.empty((len(positions), h, w), np.float32)
+            pr = self._pad_rows_to
+            hp = -(-h // pr) * pr
+            imgs = np.zeros((len(positions), hp, w, 3), np.float32)
+            # pad rows masked OUT (mask semantics: 1 = ignore pixel)
+            masks = np.ones((len(positions), hp, w), np.float32)
             w2cs = np.empty((len(positions), 4, 4), np.float32)
             ks = np.empty((len(positions), 3, 3), np.float32)
             for slot, pos in enumerate(positions):
                 d = decoded[pos]
-                imgs[slot] = d["image"]
-                masks[slot] = d["mask"]
+                imgs[slot, :h] = d["image"]
+                masks[slot, :h] = d["mask"]
                 w2cs[slot] = d["w2c"]
                 ks[slot] = d["K"]
                 self._slot[frame_ids[pos]] = ((h, w), slot)
@@ -128,9 +142,12 @@ class DeviceFrameCache:
 
 
 def build_cache(
-    scene, split: str, budget_mb: int, num_workers: int = 4
+    scene, split: str, budget_mb: int, num_workers: int = 4,
+    pad_rows_to: int = 1,
 ) -> Optional[DeviceFrameCache]:
     """Build a cache for ``split``; returns None when it does not fit the
     byte budget (callers stream instead)."""
-    cache = DeviceFrameCache(scene, split, budget_mb, num_workers)
+    cache = DeviceFrameCache(
+        scene, split, budget_mb, num_workers, pad_rows_to=pad_rows_to
+    )
     return cache if cache.available else None

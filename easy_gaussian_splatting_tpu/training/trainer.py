@@ -164,6 +164,125 @@ def make_train_step(cfg: Config, render_fn: Callable):
     return train_step
 
 
+def make_batched_train_step(cfg: Config, render_fn: Callable):
+    """Multi-camera train step: renders/differentiates B views inside ONE
+    jitted step (``lax.scan`` over the camera axis), applies a single
+    Adam update with the MEAN gradient, and accumulates densification
+    statistics per view exactly like B sequential reference steps
+    (``/root/reference/train.py:93-157`` with batch_size=1 per view).
+
+    This is gradient accumulation, not the reference's per-view Adam
+    cadence — ``train()`` keeps batch 1 for schedule parity; the batched
+    step amortizes per-step host dispatch/readback (dominant at small
+    images on a remote-device link) and is the natural data-parallel
+    unit for multi-chip camera batching. Camera tensors are stacked on a
+    leading B axis (w2cs [B,4,4], Ks [B,3,3], images [B,H,W,3], masks
+    [B,H,W])."""
+    background = jnp.full(
+        (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
+    )
+    static_lrs = {
+        "log_scales": cfg.log_scales_lr,
+        "quats": cfg.quats_lr,
+        "sh_0": cfg.sh_0_lr,
+        "sh_rest": cfg.sh_rest_lr,
+        "logit_opacities": cfg.logit_opacities_lr,
+    }
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("height", "width", "sh_degree"),
+        donate_argnames=("model", "adam"),
+    )
+    def train_step(
+        model: GaussianModelState,
+        adam: AdamState,
+        w2cs: jnp.ndarray,
+        Ks: jnp.ndarray,
+        images: jnp.ndarray,
+        masks: jnp.ndarray,
+        lr_means: jnp.ndarray,
+        do_stats: jnp.ndarray,
+        skip_all: jnp.ndarray,
+        skip_opac: jnp.ndarray,
+        *,
+        height: int,
+        width: int,
+        sh_degree: int,
+    ):
+        capacity = model.params.means.shape[0]
+        b = w2cs.shape[0]
+        absdummy = jnp.zeros((capacity, 2), jnp.float32)
+
+        def one_view(carry, xs):
+            stats, grads_sum = carry
+            w2c, K, image, mask = xs
+            camera = CameraView(w2c=w2c, K=K, width=width, height=height)
+
+            def loss_fn(params, absd):
+                out = render_fn(
+                    params, model.alive, camera, sh_degree, background,
+                    absd,
+                )
+                ld = loss_dict(
+                    out.image, image, mask, cfg.lambda_ssim,
+                    log_scales=params.log_scales, alive=model.alive,
+                    use_scale_regularization=cfg.use_scale_regularization,
+                    max_scale_ratio=cfg.max_scale_ratio,
+                    lambda_scale=cfg.lambda_scale,
+                )
+                if out.num_isects is not None:
+                    ld["isects"] = out.num_isects.astype(jnp.float32)
+                return ld["total"], (ld, out.radii)
+
+            (_, (ld, radii)), (grads, absgrad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(model.params, absdummy)
+            new_stats = update_statistics(
+                stats, radii, absgrad, height, width
+            )
+            stats = jax.tree.map(
+                lambda a, n: jnp.where(do_stats, n, a), stats, new_stats
+            )
+            grads_sum = jax.tree.map(jnp.add, grads_sum, grads)
+            return (stats, grads_sum), ld
+
+        zero_grads = jax.tree.map(jnp.zeros_like, model.params)
+        (stats, grads_sum), lds = jax.lax.scan(
+            one_view, (model.stats, zero_grads), (w2cs, Ks, images, masks)
+        )
+        grads = jax.tree.map(lambda g: g / float(b), grads_sum)
+        # loss terms: mean over views; the capacity-watchdog channel
+        # reports the WORST view
+        ld = {
+            k: (jnp.max(v) if k == "isects" else jnp.mean(v))
+            for k, v in lds.items()
+        }
+
+        lrs = {
+            name: jnp.asarray(v, jnp.float32)
+            for name, v in static_lrs.items()
+        }
+        lrs["means"] = lr_means
+        skips = {
+            name: (
+                skip_all | skip_opac
+                if name == "logit_opacities"
+                else skip_all
+            )
+            for name in ("means",) + LR_GROUPS
+        }
+        params_new, adam_new = adam_update(
+            model.params, grads, adam, lrs, skips
+        )
+        model_new = GaussianModelState(
+            params=params_new, alive=model.alive, stats=stats
+        )
+        return model_new, adam_new, ld
+
+    return train_step
+
+
 def make_grad_fn(cfg: Config, render_fn: Callable):
     """Jitted pre-Adam gradients of the single-device step — the rigorous
     comparison target for the sharded paths' gradient-equivalence tests
@@ -666,18 +785,24 @@ def train(
     # device-resident dataset cache: one upload at startup, per-step frame
     # fetch becomes a jitted on-device slice (streamed per-step transfers
     # serialize multi-MB uploads with every step — dominant on remote-
-    # device links). Disabled under a mesh (stripe padding needs host
-    # arrays) and whenever the split exceeds the HBM budget.
+    # device links). Under a mesh the TRAIN split is uploaded
+    # stripe-PADDED (rows to a multiple of the device count; pad rows
+    # masked out), so sharded steps take device-resident frames with no
+    # per-step host padding/upload. Falls back to streaming when the
+    # split exceeds the HBM budget.
     frame_cache = None
     eval_cache = None
-    if cfg.data_device_cache and mesh is None:
+    if cfg.data_device_cache:
         from ..scene.device_cache import build_cache
 
         frame_cache = build_cache(
             scene, "train", cfg.data_device_cache_mb,
             num_workers=max(1, cfg.dataloader_workers),
+            pad_rows_to=mesh.devices.size if mesh is not None else 1,
         )
         if scene.nbr_data("eval") > 0 and frame_cache is not None:
+            # eval renders single-device full frames: keep it UNPADDED
+            # (padded mask rows would count as ground truth in PSNR)
             eval_cache = build_cache(
                 scene, "eval", cfg.data_device_cache_mb,
                 num_workers=max(1, cfg.dataloader_workers),
@@ -765,14 +890,20 @@ def train(
         )
 
         if mesh is not None:
-            # pad rows to a stripe multiple; padded rows are masked out
+            # pad rows to a stripe multiple; padded rows are masked out.
+            # With the device cache on, frames arrive already padded and
+            # device-resident (zero per-step host work).
             n_dev = mesh.devices.size
             h = data["height"]
             hp = -(-h // n_dev) * n_dev
-            image = np.zeros((hp, data["width"], 3), np.float32)
-            image[:h] = data["image"]
-            mask_arr = np.ones((hp, data["width"]), np.float32)
-            mask_arr[:h] = data["mask"]
+            if getattr(data["image"], "shape", (0,))[0] == hp:
+                image = data["image"]
+                mask_arr = data["mask"]
+            else:
+                image = np.zeros((hp, data["width"], 3), np.float32)
+                image[:h] = data["image"]
+                mask_arr = np.ones((hp, data["width"]), np.float32)
+                mask_arr[:h] = data["mask"]
             sstep = get_sharded_step(hp, data["width"])
             loop.model, loop.adam, ld = sstep(
                 loop.model,

@@ -471,3 +471,69 @@ def test_sharded_densify_growth_and_trainer_loop_path():
     # moments of the new slots are zero
     mu = np.asarray(g_adam.mu.means).reshape(4, 32, 3)
     assert not mu[:, 16:].any()
+
+
+def test_device_cache_stripe_padding(tmp_path):
+    """Mesh-padded device cache: image pad rows zero, mask pad rows ONE
+    (ignored by the loss), true height preserved in the contract."""
+    from easy_gaussian_splatting_tpu.scene.device_cache import build_cache
+    from easy_gaussian_splatting_tpu.scene.scene import Scene
+    from test_scene import write_blender_scene
+
+    write_blender_scene(tmp_path / "scene", n_train=3, n_test=1, size=30)
+    scene = Scene(
+        str(tmp_path / "scene"), "blender", None, 10, True, 0.2,
+        False, True, False, 0, True, blender_init_points=16,
+    )
+    cache = build_cache(scene, "train", 1024, pad_rows_to=4)
+    assert cache is not None
+    d = cache.get(0)
+    assert d["height"] == 30 and d["image"].shape[0] == 32
+    img = np.asarray(d["image"])
+    msk = np.asarray(d["mask"])
+    assert not img[30:].any()
+    np.testing.assert_array_equal(msk[30:], 1.0)
+
+
+def test_train_loop_mesh_with_padded_device_cache(tmp_path):
+    """Sharded train() smoke with the stripe-padded device cache active
+    (image height NOT divisible by the mesh) — frames are device-resident
+    and the loss matches the masked-pad semantics."""
+    import random
+
+    from easy_gaussian_splatting_tpu.training.trainer import train
+    from test_scene import write_blender_scene
+
+    write_blender_scene(tmp_path / "scene", n_train=3, n_test=1, size=30)
+    cfg = config_from_dict(
+        dict(
+            data=str(tmp_path / "scene"),
+            data_format="blender",
+            output=None,
+            white_background=True,
+            total_iterations=6,
+            save_model_iterations=[6],
+            eval=False,
+            eval_in_test=False,
+            eval_every=100,
+            sh_degree=1,
+            sh_degree_interval=6,
+            refine_start=2,
+            refine_stop=5,
+            refine_every=3,
+            reset_opacities_every=10,
+            log_every=5,
+            renderer="tiled",
+            raster_chunk=32,
+            blender_init_points=24,
+            initial_capacity=64,
+            dataloader_workers=0,
+            data_device_cache=True,
+            mesh_shape="tiles:4",
+        )
+    )
+    random.seed(0)
+    np.random.seed(0)
+    loop = train(cfg)
+    assert loop.step == 6
+    assert int(loop.model.num_alive()) > 0

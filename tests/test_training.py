@@ -193,3 +193,107 @@ def test_step_precompiler_warms_next_capacity():
     assert model.params.means.shape[0] == 128
     assert pre.warm(cfg, model, adam, 32, 32, 1, 256) is None
     pre.shutdown()
+
+
+def test_batched_step_matches_sequential_grads():
+    """make_batched_train_step == mean of per-view gradients + B
+    sequential update_statistics applications + one Adam update."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from easy_gaussian_splatting_tpu.models.density import update_statistics
+    from easy_gaussian_splatting_tpu.models.gaussians import (
+        init_gaussian_state,
+    )
+    from easy_gaussian_splatting_tpu.models.optimizer import (
+        adam_update,
+        init_adam_state,
+    )
+    from easy_gaussian_splatting_tpu.training.config import config_from_dict
+    from easy_gaussian_splatting_tpu.training.trainer import (
+        get_render_fn,
+        make_batched_train_step,
+        make_grad_fn,
+    )
+
+    h, w, b = 32, 48, 3
+    rng = np.random.default_rng(0)
+    xyzs = rng.uniform(-1, 1, size=(60, 3)).astype(np.float32)
+    rgbs = rng.integers(0, 256, size=(60, 3)).astype(np.uint8)
+    model = init_gaussian_state(xyzs, rgbs, sh_degree=1, capacity=64)
+    adam = init_adam_state(model.params)
+    cfg = config_from_dict(dict(renderer="tiled", raster_chunk=32))
+    render_fn = get_render_fn(cfg)
+
+    w2cs = np.stack(
+        [np.eye(4, dtype=np.float32) for _ in range(b)]
+    )
+    for i in range(b):
+        w2cs[i, 2, 3] = 4.0 + 0.3 * i
+        w2cs[i, 0, 3] = 0.1 * i
+    Ks = np.stack(
+        [np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]],
+                  np.float32)] * b
+    )
+    images = rng.uniform(size=(b, h, w, 3)).astype(np.float32)
+    masks = np.zeros((b, h, w), np.float32)
+
+    # reference: per-view grads + sequential stats
+    grad_fn = make_grad_fn(cfg, render_fn)
+    grads_acc = None
+    stats = model.stats
+    for i in range(b):
+        g, a, ld, radii = grad_fn(
+            model, jnp.asarray(w2cs[i]), jnp.asarray(Ks[i]),
+            jnp.asarray(images[i]), jnp.asarray(masks[i]),
+            height=h, width=w, sh_degree=1,
+        )
+        stats = update_statistics(stats, radii, a, h, w)
+        grads_acc = (
+            g if grads_acc is None
+            else jax.tree.map(jnp.add, grads_acc, g)
+        )
+    want_grads = jax.tree.map(lambda x: x / b, grads_acc)
+    lrs = {
+        "means": jnp.float32(1e-2),
+        "log_scales": jnp.float32(cfg.log_scales_lr),
+        "quats": jnp.float32(cfg.quats_lr),
+        "sh_0": jnp.float32(cfg.sh_0_lr),
+        "sh_rest": jnp.float32(cfg.sh_rest_lr),
+        "logit_opacities": jnp.float32(cfg.logit_opacities_lr),
+    }
+    skips = {k: jnp.asarray(False) for k in lrs}
+    want_params, want_adam = adam_update(
+        model.params, want_grads, adam, lrs, skips
+    )
+
+    # batched step (fresh state: it donates)
+    model2 = init_gaussian_state(xyzs, rgbs, sh_degree=1, capacity=64)
+    adam2 = init_adam_state(model2.params)
+    step = make_batched_train_step(cfg, render_fn)
+    m2, a2, ld2 = step(
+        model2, adam2, jnp.asarray(w2cs), jnp.asarray(Ks),
+        jnp.asarray(images), jnp.asarray(masks),
+        np.float32(1e-2), np.bool_(True), np.bool_(False),
+        np.bool_(False), height=h, width=w, sh_degree=1,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(m2.params.means), np.asarray(want_params.means),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.stats.grad_norm_accum),
+        np.asarray(stats.grad_norm_accum), rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(  # 1-ulp: division fuses differently
+        np.asarray(m2.stats.max_radii), np.asarray(stats.max_radii),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.stats.collecting_counts),
+        np.asarray(stats.collecting_counts),
+    )
+    assert "isects" in ld2
