@@ -48,10 +48,20 @@ def bench_point(n, h, w, tile_size=32, margin=1.3, iters=30, batch=1):
         make_train_step,
     )
 
+    from easy_gaussian_splatting_tpu.models.gaussians import (
+        _round_up_capacity,
+    )
+
     rng = np.random.default_rng(0)
     xyzs = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
     rgbs = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
-    model = init_gaussian_state(xyzs, rgbs, sh_degree=3)
+    # default capacity headroom is 1.3x (the trainer's growth target);
+    # above ~2M the per-capacity HBM costs (params+Adam ~1.2 KB/slot,
+    # per-intersection buffers ~1.1 KB/slot) demand a tight ladder rung
+    # — the regime a real 10M-scale run handles by sharding over a
+    # gauss mesh (parallel/gauss_shard.py)
+    capacity = None if n < 2_000_000 else _round_up_capacity(int(n * 1.05))
+    model = init_gaussian_state(xyzs, rgbs, sh_degree=3, capacity=capacity)
     adam = init_adam_state(model.params)
     cfg = config_from_dict(
         dict(renderer="tiled", white_background=True, tile_size=tile_size)
@@ -129,12 +139,37 @@ def bench_point(n, h, w, tile_size=32, margin=1.3, iters=30, batch=1):
         model, adam, ld = one(model, adam)
     force(model, ld)
     dt = (time.perf_counter() - t0) / iters
+
+    # speed-of-light step (HBM-bandwidth floor at v5e ~819 GB/s): every
+    # load-bearing array touched the algorithmically-minimal number of
+    # times at COMPACT widths — params/Adam (fwd read, bwd read, update
+    # r+w), per-intersection features (pack w + kernel r fwd/bwd),
+    # gradient rows (w + reduce r), one binning-sort pass over the
+    # two-population domain, loss images. Real sorts take ~log-squared
+    # passes and gathers are issue-rate-bound (~10 ns/row), so bw_util
+    # reads as "how far from a perfectly streaming implementation" — the
+    # roofline narrative lives in docs/PLAN.md.
+    cap = model.capacity
+    m_cells2 = cfg.max_tiles * cfg.max_tiles
+    domain = cap * cfg.small_budget + m_cells2 * _ov_capacity(
+        cap, cfg.ov_frac
+    )
+    icap = int(cap * cfg.isect_mult)
+    per_view = (
+        cap * (236 * 2 + 236 * 2 + 472 * 2)  # params fwd/bwd + Adam r/w
+        + icap * (64 * 3 + 48 * 3)  # feats pack+2 kernel reads; grads
+        + domain * 16  # one sort pass (key + payload, r+w)
+        + h * w * 3 * 4 * 6  # render + L1/SSIM fwd+bwd images
+    )
+    sol_ms = batch * per_view / 819e9 * 1e3
     out = {
         "gaussians": n,
         "step_ms": round(dt * 1e3, 2),
         "it_per_s": round(batch / dt, 3),  # views (reference iters) / s
         "isects": n_isect,
         "mpix_per_s": round(batch * h * w / dt / 1e6, 2),
+        "sol_ms": round(sol_ms, 2),
+        "bw_util": round(sol_ms / (dt * 1e3), 3),
     }
     if batch > 1:
         out["camera_batch"] = batch

@@ -166,15 +166,20 @@ def _segsum_kernel(
     w_copy_out.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "max_groups")
+)
 def segsum_compact(
     rows: jnp.ndarray,  # [I_pad, LANES] f32, flat-sorted
     g: jnp.ndarray,  # [I_pad] i32 group ids, non-decreasing
     interpret: bool = False,
+    max_groups: int | None = None,
 ):
     """Per-group sums of ``rows``, compacted to one row per present
-    group (ascending group id). Returns ``compact [I_pad + 8, LANES]``;
-    rows past the number of present groups are unspecified."""
+    group (ascending group id). Rows past the number of present groups
+    are unspecified. ``max_groups`` bounds the output allocation (the
+    caller usually knows #groups << #rows — at the 3M-Gaussian regime an
+    I_pad-sized output would waste multiple GB of HBM)."""
     i_pad, lanes = rows.shape
     if i_pad % R:
         raise ValueError(f"rows {i_pad} must be a multiple of {R}")
@@ -187,7 +192,12 @@ def segsum_compact(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(starts_per_block, dtype=jnp.int32)]
     )
-    n_out_pad = i_pad + 8
+    # every block's RMW window [align8(base), +R+8) must fit
+    n_out_pad = (
+        i_pad + 8
+        if max_groups is None
+        else min(-(-(max_groups + R + 8) // 8) * 8, i_pad + 8)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -776,7 +776,10 @@ def _core_bwd(
         rows = dfeats[p]  # [I, 128] orig-grouped (full-width gather)
         rows = jnp.pad(rows, ((0, i_seg - icap), (0, 0)))
         g_pad = jnp.pad(g, (0, i_seg - icap), constant_values=c)
-        compact = segsum_compact(rows, g_pad, interpret=interpret)
+        # groups = gaussians + the dead-sentinel group
+        compact = segsum_compact(
+            rows, g_pad, interpret=interpret, max_groups=c + 1
+        )
 
         present = binning.counts > 0
         rank = jnp.cumsum(present.astype(jnp.int32)) - present.astype(
