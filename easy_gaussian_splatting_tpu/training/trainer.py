@@ -982,6 +982,13 @@ def train(
                     "latency_ms",
                 ):
                     all_tb_info[f"eval/{k}"] = v
+            logger.info(
+                "eval @ step %d: %s", step,
+                ", ".join(
+                    f"{k}={v:.4f}" for k, v in metrics.items()
+                    if isinstance(v, float)
+                ),
+            )
         _bucket("eval")
 
         # refine events
