@@ -166,6 +166,8 @@ def binning_extents(
 # a tighter budget at the same coverage halves the dominant sort cost.
 SMALL_BUDGET = 9
 BUDGET_CANDIDATES = (2, 4, 9)
+# test hook: force the num_keys=2 sort fallback (the >2M-Gaussian path)
+_FORCE_UNPACKABLE = False
 
 
 def bin_gaussians(
@@ -304,7 +306,7 @@ def bin_gaussians(
     # that the sort falls back to num_keys=2 — same ordering, ~same data
     # movement, only a costlier comparator (the two-population domain
     # compaction below is independent of the packing)
-    packable = rank_bits + tile_bits <= 31
+    packable = rank_bits + tile_bits <= 31 and not _FORCE_UNPACKABLE
     two_pop = m > b_small and ov_capacity > 0
     if two_pop:
         # TWO-POPULATION sort domain. Measured window-size distribution:

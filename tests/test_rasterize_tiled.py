@@ -443,3 +443,44 @@ class TestTruncationSafety:
         # ample capacity: gradient is nonzero
         g_big, _ = jax.grad(loss(8), argnums=(0, 1))(m2d, dummy)
         assert np.any(np.asarray(g_big) != 0.0)
+
+
+def test_unpackable_sort_fallback_matches_packed():
+    """Above ~2M Gaussians the (tile, rank) key no longer fits 31 bits
+    and binning sorts with num_keys=2 — same ordering as the packed
+    path (live region compared; the dead sentinel tail order is
+    unspecified)."""
+    import easy_gaussian_splatting_tpu.ops.rasterize_tiled as rt
+
+    rng = np.random.default_rng(7)
+    c = 2000
+    geom = rt.image_geometry(96, 128, 32)
+    m2d = jnp.asarray(rng.uniform(-10, 130, (c, 2)).astype(np.float32))
+    ext = jnp.asarray(rng.uniform(0.5, 40, (c, 2)).astype(np.float32))
+    dep = jnp.asarray(rng.uniform(1, 9, (c,)).astype(np.float32))
+
+    def run():
+        return rt.bin_gaussians(
+            m2d, ext, dep, geom, 4, 4, ov_capacity=256, small_budget=4
+        )
+
+    a = run()
+    rt._FORCE_UNPACKABLE = True
+    try:
+        b = run()
+    finally:
+        rt._FORCE_UNPACKABLE = False
+    n = int(a.num_isects)
+    assert n == int(b.num_isects) and n > 0
+    np.testing.assert_array_equal(
+        np.asarray(a.isect_flat[:n]), np.asarray(b.isect_flat[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.isect_tile[:n]), np.asarray(b.isect_tile[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.tile_offsets), np.asarray(b.tile_offsets)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.counts), np.asarray(b.counts)
+    )
