@@ -168,6 +168,123 @@ SMALL_BUDGET = 9
 BUDGET_CANDIDATES = (2, 4, 9)
 # test hook: force the num_keys=2 sort fallback (the >2M-Gaussian path)
 _FORCE_UNPACKABLE = False
+# binning grid implementation: "pallas" (streaming binkeys kernel) or
+# "xla" (the [C, M] jnp duplicate grid)
+BINNING_IMPL = os.environ.get("EGS_TPU_BINNING", "xla")
+
+
+def _bin_gaussians_binkeys(
+    *, c, m, ts, tx_n, num_tiles, b_small, ov_capacity, rank_bits,
+    packable, order, rank, valid_s, mx, my, tx0, ty0, w, h, count, flag,
+    num_overflow, n_gt, conics, opacities, interpret,
+):
+    """Two-population binning with the Pallas binkeys kernel building the
+    duplicate-grid keys/flats/counts (j-major) instead of the XLA [C, M]
+    grid. Ordering-equivalent to the XLA path (the sort consumes an
+    unordered multiset of (key, flat) entries)."""
+    from .pallas.binkeys import GBLK, binkeys
+    from .rasterize_ref import ALPHA_THRESH
+
+    s_max = jnp.clip(
+        jnp.log(jnp.maximum(opacities, 1e-12) / ALPHA_THRESH), 0.0, 4.5
+    )
+    ov_rank = jnp.cumsum(flag.astype(jnp.int32)) - flag.astype(jnp.int32)
+    in_ov = flag & (ov_rank < ov_capacity)
+    arange_c = jnp.arange(c, dtype=jnp.int32)
+    ov_id = jax.lax.sort(jnp.where(in_ov, arange_c, c))[:ov_capacity]
+    slot_valid = ov_id < c
+    safe_id = jnp.minimum(ov_id, c - 1)
+
+    kr_bits = rank_bits if packable else 0
+    cols = dict(
+        mx=mx, my=my,
+        tx0=tx0.astype(jnp.float32), ty0=ty0.astype(jnp.float32),
+        w=w.astype(jnp.float32), h=h.astype(jnp.float32),
+        a=conics[:, 0], b=conics[:, 1], cc=conics[:, 2],
+        s_max=s_max, rank=rank.astype(jnp.float32),
+        count_w=count.astype(jnp.float32),
+        orig=arange_c.astype(jnp.float32),
+    )
+
+    def stack_feats(take, livebase, n_lanes):
+        pad = -(-n_lanes // GBLK) * GBLK - n_lanes
+        rows = [
+            cols["mx"], cols["my"], cols["tx0"], cols["ty0"],
+            cols["w"], cols["h"], cols["a"], cols["b"], cols["cc"],
+            cols["s_max"], cols["rank"], livebase.astype(jnp.float32),
+            cols["count_w"], cols["orig"],
+        ]
+        if take is not None:
+            rows = [r[take] for r in rows[:11]] + [
+                livebase.astype(jnp.float32),
+                cols["count_w"][take], cols["orig"][take],
+            ]
+        rows += [jnp.zeros_like(rows[0])] * 2
+        return jnp.stack(
+            [jnp.pad(r, (0, pad)) for r in rows], axis=0
+        )
+
+    feats_a = stack_feats(None, valid_s & jnp.logical_not(in_ov), c)
+    packed_a, flats_a, cnt_small, cnt_full = binkeys(
+        feats_a, n_keys=b_small, m=m, ts=ts, tiles_x=tx_n,
+        num_tiles=num_tiles, rank_bits=kr_bits, sentinel_flat=c * m,
+        interpret=interpret,
+    )
+    feats_b = stack_feats(safe_id, slot_valid, ov_capacity)
+    packed_b, flats_b, _, _ = binkeys(
+        feats_b, n_keys=m, m=m, ts=ts, tiles_x=tx_n,
+        num_tiles=num_tiles, rank_bits=kr_bits, sentinel_flat=c * m,
+        interpret=interpret,
+    )
+    # counts: small-budget cells for population A members, full window
+    # for overflow members — both from the SAME exact-test pass
+    counts = jnp.where(in_ov, cnt_full[:c], cnt_small[:c])
+
+    keys_dom = jnp.concatenate(
+        [packed_a.reshape(-1), packed_b.reshape(-1)]
+    )
+    flats_dom = jnp.concatenate(
+        [flats_a.reshape(-1), flats_b.reshape(-1)]
+    )
+    if packable:
+        sorted_packed, sorted_flat = jax.lax.sort(
+            (keys_dom, flats_dom), num_keys=1, is_stable=False
+        )
+        sorted_keys = (sorted_packed >> rank_bits).astype(jnp.int32)
+    else:
+        ca = feats_a.shape[1]
+        rank_dom = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.pad(rank, (0, ca - c))[None, :], (b_small, ca)
+                ).reshape(-1),
+                jnp.broadcast_to(
+                    jnp.pad(rank[safe_id], (0, feats_b.shape[1] - ov_capacity))[
+                        None, :
+                    ],
+                    (m, feats_b.shape[1]),
+                ).reshape(-1),
+            ]
+        )
+        sorted_keys, _, sorted_flat = jax.lax.sort(
+            (keys_dom, rank_dom, flats_dom), num_keys=2, is_stable=False
+        )
+    sorted_orig = jnp.minimum(sorted_flat // m, c - 1)
+    tile_offsets = jnp.searchsorted(
+        sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left",
+    ).astype(jnp.int32)
+    return Binning(
+        order=order,
+        isect_orig=sorted_orig,
+        isect_flat=sorted_flat,
+        isect_tile=sorted_keys,
+        tile_offsets=tile_offsets,
+        num_isects=tile_offsets[num_tiles],
+        counts=counts,
+        num_overflow=num_overflow,
+        n_gt=n_gt,
+    )
 
 
 def bin_gaussians(
@@ -181,7 +298,10 @@ def bin_gaussians(
     opacities: jnp.ndarray | None = None,  # [C] required with conics
     ov_capacity: int | None = None,  # overflow-population slots (None: C//8)
     small_budget: int = SMALL_BUDGET,  # small-population cells per gaussian
+    interpret: bool | None = None,  # Pallas interpret mode (binkeys path)
 ) -> Binning:
+    if interpret is None:
+        interpret = _interpret_default()
     c = means2d.shape[0]
     ts = geom.tile_size
     tx_n, ty_n = geom.tiles_x, geom.tiles_y
@@ -225,6 +345,48 @@ def bin_gaussians(
     tx0 = jnp.clip(cx - (w - 1) // 2, tx0, tx1 - w + 1)
     ty0 = jnp.clip(cy - (h - 1) // 2, ty0, ty1 - h + 1)
     count = jnp.where(valid_s, w * h, 0)  # [C]
+
+    # population bookkeeping needs only [C] vectors
+    if ov_capacity is None:
+        ov_capacity = min(c, max(c // 8, 128))
+    b_small = max(1, min(small_budget, m))
+    flag = valid_s & (count > b_small)
+    num_overflow = jnp.sum(flag, dtype=jnp.int32)
+    n_gt = jnp.stack(
+        [
+            jnp.sum(valid_s & (count > bb), dtype=jnp.int32)
+            for bb in BUDGET_CANDIDATES
+        ]
+    )
+    rank_bits = max(1, (c - 1).bit_length())
+    tile_bits = num_tiles.bit_length()  # ids 0..num_tiles (incl. sentinel)
+    # (tile, rank) packs into one i32 key up to C ~ 2M at 800^2; beyond
+    # that the sort falls back to num_keys=2 — same ordering, ~same data
+    # movement, only a costlier comparator (the two-population domain
+    # compaction below is independent of the packing)
+    packable = rank_bits + tile_bits <= 31 and not _FORCE_UNPACKABLE
+    two_pop = m > b_small and ov_capacity > 0
+    want_dense = BWD_REDUCE == "dense"
+    # the Pallas binkeys kernel replaces the [C, M] XLA duplicate grid
+    # (window tiling + exact test + sentinel keys + counts) — the XLA
+    # version measured ~16 ms at 1M Gaussians for ~2 GB of streaming
+    # elementwise work
+    use_binkeys = (
+        BINNING_IMPL == "pallas"
+        and two_pop
+        and conics is not None
+        and not want_dense
+    )
+    if use_binkeys:
+        return _bin_gaussians_binkeys(
+            c=c, m=m, ts=ts, tx_n=tx_n, num_tiles=num_tiles,
+            b_small=b_small, ov_capacity=ov_capacity,
+            rank_bits=rank_bits, packable=packable,
+            order=order, rank=rank, valid_s=valid_s, mx=mx, my=my,
+            tx0=tx0, ty0=ty0, w=w, h=h, count=count, flag=flag,
+            num_overflow=num_overflow, n_gt=n_gt,
+            conics=conics, opacities=opacities, interpret=interpret,
+        )
 
     j = jnp.arange(m, dtype=jnp.int32)[None, :]  # [1, M]
     w_safe = jnp.maximum(w, 1)[:, None]
@@ -288,26 +450,6 @@ def bin_gaussians(
     flats = jnp.where(live, base_flat, c * m)
     counts = jnp.sum(live, axis=1, dtype=jnp.int32)  # [C]
 
-    if ov_capacity is None:
-        ov_capacity = min(c, max(c // 8, 128))
-    b_small = max(1, min(small_budget, m))
-    flag = valid_s & (count > b_small)
-    num_overflow = jnp.sum(flag, dtype=jnp.int32)
-    n_gt = jnp.stack(
-        [
-            jnp.sum(valid_s & (count > bb), dtype=jnp.int32)
-            for bb in BUDGET_CANDIDATES
-        ]
-    )
-
-    rank_bits = max(1, (c - 1).bit_length())
-    tile_bits = num_tiles.bit_length()  # ids 0..num_tiles (incl. sentinel)
-    # (tile, rank) packs into one i32 key up to C ~ 2M at 800^2; beyond
-    # that the sort falls back to num_keys=2 — same ordering, ~same data
-    # movement, only a costlier comparator (the two-population domain
-    # compaction below is independent of the packing)
-    packable = rank_bits + tile_bits <= 31 and not _FORCE_UNPACKABLE
-    two_pop = m > b_small and ov_capacity > 0
     if two_pop:
         # TWO-POPULATION sort domain. Measured window-size distribution:
         # w*h <= b_small covers the vast majority of gaussians
@@ -556,6 +698,7 @@ def _prepare(
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
     ov_frac: float = 0.125,
     small_budget: int = SMALL_BUDGET,
+    interpret: bool | None = None,
 ):
     from .pallas.tile_raster import CHUNK
 
@@ -566,6 +709,7 @@ def _prepare(
         conics=conics, opacities=opacities,
         ov_capacity=_ov_capacity(means2d.shape[0], ov_frac),
         small_budget=small_budget,
+        interpret=interpret,
     )
     # the two-population sort domain can be smaller than a large
     # requested cap; clamp (both are static python ints)
@@ -606,7 +750,7 @@ def _tiled_impl(
     geom, binning, feats = _prepare(
         means2d, conics, colors, opacities, radii, depths,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
-        ov_frac=ov_frac, small_budget=small_budget,
+        ov_frac=ov_frac, small_budget=small_budget, interpret=interpret,
     )
     basis = tile_pixel_basis(geom)
     rgb_t, tfin_t, last_t = tiled_forward(

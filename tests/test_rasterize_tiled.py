@@ -484,3 +484,60 @@ def test_unpackable_sort_fallback_matches_packed():
     np.testing.assert_array_equal(
         np.asarray(a.counts), np.asarray(b.counts)
     )
+
+
+@pytest.mark.parametrize("force_unpackable", [False, True])
+def test_binkeys_kernel_matches_xla_grid(force_unpackable):
+    """The Pallas binkeys path must reproduce the XLA duplicate-grid
+    binning exactly: same intersections, offsets, and counts."""
+    import easy_gaussian_splatting_tpu.ops.rasterize_tiled as rt
+
+    rng = np.random.default_rng(11)
+    c = 3000
+    geom = rt.image_geometry(96, 128, 32)
+    m2d = jnp.asarray(rng.uniform(-10, 130, (c, 2)).astype(np.float32))
+    # anisotropic conics so the exact test prunes corner tiles
+    L = rng.normal(size=(c, 2, 2)).astype(np.float32) * 2.0
+    cov = L @ np.swapaxes(L, 1, 2) + np.eye(2)[None] * 1.0
+    det = cov[:, 0, 0] * cov[:, 1, 1] - cov[:, 0, 1] ** 2
+    con = jnp.asarray(
+        np.stack(
+            [cov[:, 1, 1] / det, -cov[:, 0, 1] / det, cov[:, 0, 0] / det],
+            -1,
+        ).astype(np.float32)
+    )
+    opa = jnp.asarray(rng.uniform(0.02, 0.95, (c,)).astype(np.float32))
+    radii = jnp.asarray(rng.uniform(0.0, 60, (c,)).astype(np.float32))
+    ext = rt.binning_extents(con, opa, radii)
+    dep = jnp.asarray(rng.uniform(1, 9, (c,)).astype(np.float32))
+
+    def run():
+        return rt.bin_gaussians(
+            m2d, ext, dep, geom, 4, 4, conics=con, opacities=opa,
+            ov_capacity=512, small_budget=4,
+        )
+
+    rt._FORCE_UNPACKABLE = force_unpackable
+    try:
+        old_impl = rt.BINNING_IMPL
+        rt.BINNING_IMPL = "xla"
+        a = run()
+        rt.BINNING_IMPL = "pallas"
+        b = run()
+    finally:
+        rt.BINNING_IMPL = old_impl
+        rt._FORCE_UNPACKABLE = False
+    n = int(a.num_isects)
+    assert n == int(b.num_isects) and n > 0
+    np.testing.assert_array_equal(
+        np.asarray(a.isect_flat[:n]), np.asarray(b.isect_flat[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.isect_tile[:n]), np.asarray(b.isect_tile[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.tile_offsets), np.asarray(b.tile_offsets)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.counts), np.asarray(b.counts)
+    )
