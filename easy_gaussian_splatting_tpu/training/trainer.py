@@ -501,10 +501,15 @@ def train(
     if resume_from is not None:
         model, sh_deg, start_step, adam = load_checkpoint(Path(resume_from))
         if adam is None:
-            raise ValueError(
-                f"checkpoint {resume_from} has no optimizer state; save "
-                "with save_optimizer_state: true to enable resume"
+            # warm-start: params/step/sh-degree restore exactly; Adam
+            # moments re-estimate within ~100 steps (bias correction
+            # restarts). Exact resume needs save_optimizer_state: true.
+            logger.warning(
+                f"checkpoint {resume_from} has no optimizer state — "
+                "resuming with FRESH Adam moments (warm start, not an "
+                "exact continuation)"
             )
+            adam = init_adam_state(model.params)
         logger.info(
             f"resumed from {resume_from} at step {start_step} "
             f"({int(model.num_alive())} gaussians)"
@@ -860,6 +865,10 @@ def train(
         )
     for data in data_iter:
         _bucket("data")
+        if loop.step >= cfg.total_iterations:
+            # resumed runs start mid-schedule; the index tiling still
+            # spans the full budget
+            break
         loop.step += 1
         step = loop.step
         all_tb_info: Dict[str, Any] = {}

@@ -53,6 +53,7 @@ def main():
         "(generation is deterministic per settings; big GT scenes take "
         "minutes to render)",
     )
+    parser.add_argument("--resume-from", default="")
     parser.add_argument(
         "--reference-schedule", action="store_true",
         help="use the reference's exact 30k training schedule "
@@ -120,9 +121,13 @@ def main():
             refine_stop=15000,
             refine_every=200,
             reset_opacities_every=2000,
+            # reference saves at {7000, 30000}; denser optimizer-state
+            # checkpoints added for stall recovery on the remote tunnel
             save_model_iterations=sorted(
-                {i for i in (7000, iters) if i <= iters}
+                {i for i in (7000, *range(10000, iters + 1, 4000), iters)
+                 if i <= iters}
             ),
+            save_optimizer_state=True,
             log_every=200,
         )
     else:
@@ -161,7 +166,7 @@ def main():
     dump_config(cfg, out_dir / "config.yaml")
 
     t0 = time.time()
-    loop = train(cfg)
+    loop = train(cfg, resume_from=args.resume_from or None)
     wall = time.time() - t0
     print(f"trained {iters} iters in {wall:.1f}s ({iters/wall:.2f} it/s)")
 
