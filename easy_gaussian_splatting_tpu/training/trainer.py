@@ -722,7 +722,7 @@ def train(
             evaluator.invalidate(render_fn)
 
     def check_isect_capacity(data):
-        nonlocal render_fn, train_step, isect_counter
+        nonlocal render_fn, train_step, isect_counter, autotuned
         if isect_counter is None:
             return
         vals = np.asarray(
@@ -736,6 +736,22 @@ def train(
             )
         )
         n, n_ov = int(vals[0]), int(vals[1])
+        # RE-TIGHTEN an oversized capacity: the startup autotune ran on
+        # the initial (tiny) population; after capacity growth the same
+        # isect_mult can be 10x too large, taxing every per-row cost in
+        # binning and the backward reduction (measured 240 -> 38 ms/step
+        # at the 800^2 hard-scene regime). 2x hysteresis vs the 1.3x
+        # sizing target avoids grow/shrink thrash; the rebuild lands at
+        # a densify event where a recompile is often due anyway.
+        want_tight = max(0.25, n * 1.3 / max(loop.model.capacity, 1))
+        if cfg.isect_mult > 2.0 * want_tight:
+            logger.info(
+                f"isect_mult {cfg.isect_mult} oversized for "
+                f"{n} intersections at capacity {loop.model.capacity} — "
+                "re-running the binning autotune"
+            )
+            autotuned = False  # main loop re-runs autotune_isect_mult
+            return
         from ..ops.rasterize_tiled import _ov_capacity
 
         ov_cap = _ov_capacity(loop.model.capacity, cfg.ov_frac)
