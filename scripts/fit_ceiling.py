@@ -44,7 +44,7 @@ def main():
     )
 
     scene = Scene(
-        args.data, "blender", None, 10, True, 0.2, False, True,
+        args.data, "blender", None, 100, True, 0.2, False, True,
         False, 0, True, blender_init_points=16,
     )
     means, scales, quats, shs, opac = make_gt_gaussians(
