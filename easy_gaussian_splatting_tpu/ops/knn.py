@@ -64,5 +64,9 @@ def knn_dists(points: np.ndarray, k: int = 3, chunk: int = 4096) -> np.ndarray:
     n = points.shape[0]
     if n <= k:
         raise ValueError(f"need more than k={k} points, got {n}")
-    chunk = min(chunk, max(8, n))
+    # each loop iteration materializes a [chunk, N] f32 distance block
+    # (+ its XLA temporaries); bound it to ~2 GB so multi-million-point
+    # clouds fit HBM (at 3M points the default chunk was a 49 GB block)
+    max_chunk = max(64, int(512e6 // max(n, 1)) // 64 * 64)
+    chunk = min(chunk, max_chunk, max(8, n))
     return np.asarray(_knn_dists_device(jnp.asarray(points), k, chunk))

@@ -51,37 +51,56 @@ def _mm(mask_bf16, x_f32):
     exact in bf16)."""
     hi, lo = _hi_lo(x_f32)
     dims = (((1,), (0,)), ((), ()))
+    # precision must be DEFAULT: Mosaic rejects bf16 operands with an
+    # fp32 contract_precision ("Bad lhs type"); accumulation is still
+    # f32 via preferred_element_type (same rule as tile_raster._scan_mm)
     return jax.lax.dot_general(
-        mask_bf16, hi, dims, preferred_element_type=jnp.float32
+        mask_bf16, hi, dims,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
     ) + jax.lax.dot_general(
-        mask_bf16, lo, dims, preferred_element_type=jnp.float32
+        mask_bf16, lo, dims,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
     )
 
 
 def _lanes_to_sublanes(v_lane: jnp.ndarray) -> jnp.ndarray:
-    """[1, R] f32 -> [R, 1] f32 via an identity matmul (f32-exact for
-    integer values < 2^24)."""
+    """[1, R] f32 -> [R, 1] f32: broadcast along sublanes, then an
+    iota-masked row reduction (Mosaic rejects the transposed-contraction
+    matmul form with "Bad lhs type")."""
     r = v_lane.shape[1]
     i_sub = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     j_lane = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
-    ident = (i_sub == j_lane).astype(jnp.float32)
-    return jax.lax.dot_general(
-        ident, v_lane, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    g = jnp.broadcast_to(v_lane, (r, r))
+    return jnp.sum(
+        jnp.where(i_sub == j_lane, g, 0.0), axis=1, keepdims=True
     )  # [R, 1]
+
+
+def _lane_prefix_sum_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix sum along lanes of a [1, R] f32 (log-step
+    shifts; counts stay f32-exact)."""
+    r = x.shape[1]
+    # shift right by one for exclusivity
+    x = jnp.concatenate([jnp.zeros((1, 1), x.dtype), x[:, :-1]], axis=1)
+    k = 1
+    while k < r:
+        pad = jnp.zeros((1, k), x.dtype)
+        x = x + jnp.concatenate([pad, x[:, :-k]], axis=1)
+        k *= 2
+    return x
 
 
 def _segsum_kernel(
     base_ref,  # scalar prefetch [nb+1]: #group-starts before each block
-    rows_ref,  # HBM [I_pad, LANES] f32 (flat-sorted gradient rows)
-    glane_ref,  # HBM [nb, R] i32: group id | (is_start << 30), lane-major
+    rows_ref,  # VMEM block [R, LANES] f32 (reverse-indexed)
+    glane_ref,  # VMEM block [1, 1, R] i32: group id | (is_start << 30)
     out_ref,  # HBM [n_out_pad, LANES] f32 (compacted group sums)
-    rbuf_ref,  # VMEM [R, LANES] rows
-    lbuf_ref,  # VMEM [1, R] packed ids
     wbuf_ref,  # VMEM [R + 8, LANES] output window
     carry_sum,  # VMEM [1, LANES]
     carry_g,  # VMEM [1, 1] f32 (group id of the previous block's head)
-    sem,  # DMA semaphores [3]
+    sem,  # DMA semaphore (output RMW)
 ):
     nb = pl.num_programs(0)
     kk = pl.program_id(0)
@@ -92,33 +111,22 @@ def _segsum_kernel(
         carry_sum[...] = jnp.zeros_like(carry_sum)
         carry_g[...] = jnp.full_like(carry_g, -1.0)
 
-    in_copy = pltpu.make_async_copy(
-        rows_ref.at[pl.ds(k * R, R), :], rbuf_ref, sem.at[0]
-    )
-    l_copy = pltpu.make_async_copy(
-        glane_ref.at[pl.ds(k, 1), :], lbuf_ref, sem.at[1]
-    )
-    in_copy.start()
-    l_copy.start()
-
     base = base_ref[k]
     wpos = (base // 8) * 8
     off = base - wpos
     w_copy_in = pltpu.make_async_copy(
         out_ref.at[pl.ds(pl.multiple_of(wpos, 8), R + 8), :],
         wbuf_ref,
-        sem.at[2],
+        sem,
     )
     w_copy_in.start()
 
-    l_copy.wait()
-    packed_l = lbuf_ref[...]  # [1, R] i32
+    packed_l = glane_ref[0]  # [1, R] i32
     g_l = (packed_l & _MASK30).astype(jnp.float32)  # [1, R]
     st_l = (packed_l >> 30).astype(jnp.float32)  # [1, R]
     g_s = _lanes_to_sublanes(g_l)  # [R, 1] f32
 
-    in_copy.wait()
-    rows = rbuf_ref[...]  # [R, LANES]
+    rows = rows_ref[...]  # [R, LANES]
 
     # within-block segmented suffix sums: mask[i, j] = j >= i and same
     # group (groups are contiguous, so equality == same segment)
@@ -132,14 +140,9 @@ def _segsum_kernel(
     carry_sum[...] = s[0:1, :]
     carry_g[...] = g_s[0:1, 0:1]
 
-    # compact start rows: dest = off + (#starts above, exclusive). The
-    # exclusive lane-prefix of is_start comes from an f32 matmul (ranks
-    # exceed bf16's exact-integer range): rank_l[i] = sum_j st[j]*[j<i]
-    jlt = (i_sub < j_lane).astype(jnp.float32)  # jlt[j, i] = j < i
-    rank_l = jax.lax.dot_general(
-        st_l, jlt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, R]
+    # compact start rows: dest = off + (#starts above, exclusive),
+    # via a log-step lane prefix (f32-exact counts)
+    rank_l = _lane_prefix_sum_excl(st_l)  # [1, R]
     dest_l = rank_l + off.astype(jnp.float32)  # [1, R] in-window dest
     d_sub = jax.lax.broadcasted_iota(jnp.int32, (R + 8, R), 0).astype(
         jnp.float32
@@ -148,11 +151,7 @@ def _segsum_kernel(
     oh = ((d_sub == dest_l) & (st_l > 0.0)).astype(jnp.bfloat16)
     win_new = _mm(oh, s)  # [R+8, LANES]
     wrote = (
-        jax.lax.dot_general(
-            oh, jnp.ones((R, 1), jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        > 0.0
+        jnp.sum(oh.astype(jnp.float32), axis=1, keepdims=True) > 0.0
     )  # [R+8, 1]
 
     w_copy_in.wait()
@@ -160,7 +159,7 @@ def _segsum_kernel(
     w_copy_out = pltpu.make_async_copy(
         wbuf_ref,
         out_ref.at[pl.ds(pl.multiple_of(wpos, 8), R + 8), :],
-        sem.at[2],
+        sem,
     )
     w_copy_out.start()
     w_copy_out.wait()
@@ -199,21 +198,27 @@ def segsum_compact(
         else min(-(-(max_groups + R + 8) // 8) * 8, i_pad + 8)
     )
 
+    nb_static = nb
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            # reverse index maps: the grid walks blocks high-to-low for
+            # the suffix carry; the pipeline DMAs whole aligned blocks
+            pl.BlockSpec((R, lanes), lambda i, *_: (nb_static - 1 - i, 0)),
+            # 3-D so the last two block dims equal the array dims (TPU
+            # BlockSpec constraint: sublane blocks must be 8-divisible
+            # OR whole-dimension)
+            pl.BlockSpec(
+                (1, 1, R), lambda i, *_: (nb_static - 1 - i, 0, 0)
+            ),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
-            pltpu.VMEM((R, lanes), jnp.float32),
-            pltpu.VMEM((1, R), jnp.int32),
             pltpu.VMEM((R + 8, lanes), jnp.float32),
             pltpu.VMEM((1, lanes), jnp.float32),
             pltpu.VMEM((1, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
@@ -222,7 +227,7 @@ def segsum_compact(
         out_shape=[jax.ShapeDtypeStruct((n_out_pad, lanes), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(base, rows, glane)[0]
+    )(base, rows, glane.reshape(nb, 1, R))[0]
 
 
 def _expand_kernel(
@@ -231,11 +236,10 @@ def _expand_kernel(
     # hold unspecified bits — 0 * garbage in the matmul would poison
     # every output of the dot product)
     compact_ref,  # HBM [n_in_pad, LANES]
-    rlane_ref,  # HBM [nbc, R] i32: rank | (present << 30), lane-major
+    rlane_ref,  # VMEM block [1, 1, R] i32: rank | (present << 30)
     out_ref,  # VMEM block [R, LANES]
     cbuf_ref,  # VMEM [R + 8, LANES]
-    lbuf_ref,  # VMEM [1, R] i32
-    sem,  # DMA semaphores [2]
+    sem,  # DMA semaphore
 ):
     b = pl.program_id(0)
     nbc = pl.num_programs(0)
@@ -244,16 +248,11 @@ def _expand_kernel(
     c_copy = pltpu.make_async_copy(
         compact_ref.at[pl.ds(pl.multiple_of(w, 8), R + 8), :],
         cbuf_ref,
-        sem.at[0],
-    )
-    r_copy = pltpu.make_async_copy(
-        rlane_ref.at[pl.ds(b, 1), :], lbuf_ref, sem.at[1]
+        sem,
     )
     c_copy.start()
-    r_copy.start()
-    r_copy.wait()
 
-    packed = lbuf_ref[...]  # [1, R] i32
+    packed = rlane_ref[0]  # [1, R] i32
     rank_l = (packed & _MASK30).astype(jnp.float32) - w.astype(jnp.float32)
     pres_l = (packed >> 30).astype(jnp.float32)  # [1, R]
     # oh[c, s] = present[c] & (rank[c] == s): rank per output SUBLANE
@@ -301,13 +300,12 @@ def monotone_expand(
         grid=(nbc,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 1, R), lambda b, *_: (b, 0, 0)),
         ],
         out_specs=[pl.BlockSpec((R, lanes), lambda b, *_: (b, 0))],
         scratch_shapes=[
             pltpu.VMEM((R + 8, lanes), jnp.float32),
-            pltpu.VMEM((1, R), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
@@ -315,4 +313,4 @@ def monotone_expand(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((c_pad, lanes), jnp.float32)],
         interpret=interpret,
-    )(wstart, compact, rlane)[0]
+    )(wstart, compact, rlane.reshape(nbc, 1, R))[0]

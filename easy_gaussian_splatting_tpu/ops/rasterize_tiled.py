@@ -170,7 +170,7 @@ BUDGET_CANDIDATES = (2, 4, 9)
 _FORCE_UNPACKABLE = False
 # binning grid implementation: "pallas" (streaming binkeys kernel) or
 # "xla" (the [C, M] jnp duplicate grid)
-BINNING_IMPL = os.environ.get("EGS_TPU_BINNING", "xla")
+BINNING_IMPL = os.environ.get("EGS_TPU_BINNING", "pallas")
 
 
 def _bin_gaussians_binkeys(

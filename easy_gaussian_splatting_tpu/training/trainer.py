@@ -636,7 +636,10 @@ def train(
         n, n_ov = int(vals[0]), int(vals[1])
         cap = loop.model.capacity
         max_mult = (cfg.isect_hbm_budget_mb * 1e6 / 576) / max(cap, 1)
-        want = round(min(max(0.25, n * 1.3 / cap), max_mult), 3)
+        # 1.2x headroom (A/B: 1.3 -> 1.15 saved ~9 ms/step at 1M by
+        # shrinking every per-row cost; 1.2 keeps slack for
+        # camera-to-camera variance, growth triggers at 90%)
+        want = round(min(max(0.25, n * 1.2 / cap), max_mult), 3)
         # choose the small-population budget + overflow fraction jointly
         # to minimize the binning sort domain C*b + M*ov_capacity — the
         # dominant cost at large N. The overflow population is pure
@@ -694,7 +697,7 @@ def train(
                     tb_writer, at_step,
                     {"train/overflow_steps": overflow_steps},
                 )
-        if n > 0.85 * cap:
+        if n > 0.9 * cap:
             # bound growth by the per-intersection HBM budget (~576 B per
             # slot: feature matrix [16, icap] f32 + backward gradient
             # rows [icap, 128] f32) so repeated doublings cannot OOM the
@@ -743,7 +746,7 @@ def train(
         # at the 800^2 hard-scene regime). 2x hysteresis vs the 1.3x
         # sizing target avoids grow/shrink thrash; the rebuild lands at
         # a densify event where a recompile is often due anyway.
-        want_tight = max(0.25, n * 1.3 / max(loop.model.capacity, 1))
+        want_tight = max(0.25, n * 1.2 / max(loop.model.capacity, 1))
         if cfg.isect_mult > 2.0 * want_tight:
             logger.info(
                 f"isect_mult {cfg.isect_mult} oversized for "
