@@ -78,8 +78,17 @@ def bench_point(n, h, w, tile_size=32, margin=1.2, iters=30, batch=1):
     vals = np.asarray(
         counter(model.params, model.alive, w2c, K, height=h, width=w)
     )
+    from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+        max_isect_cap,
+    )
+
     n_isect = int(vals[0])
-    cfg.isect_mult = round(max(0.25, n_isect * margin / model.capacity), 3)
+    cap_lim = max_isect_cap(cfg.isect_hbm_budget_mb)
+    cfg.isect_mult = round(
+        min(max(0.25, n_isect * margin / model.capacity),
+            cap_lim / model.capacity),
+        3,
+    )
     m_cells = cfg.max_tiles * cfg.max_tiles
     best_dom = None
     for bb, need in zip(BUDGET_CANDIDATES, vals[2:]):
@@ -198,6 +207,11 @@ def main():
     probe_ns = [int(argv[0])] if argv else list(DEFAULT_PROBE_NS)
 
     probes = []
+    # default matrix: also measure a batched (multi-camera) 100k point —
+    # at small N the chip is issue-rate-bound far below its bandwidth
+    # (bw_util ~2%), and the batched step amortizes the fixed per-step
+    # costs over B views; it_per_s counts VIEWS (reference iterations)
+    batched_points = [] if argv else [(100_000, 4)]
     for n in probe_ns:
         # fewer timing iters at the big-N points (steps are ~10x longer).
         # Per-point retry: the remote TPU worker occasionally crashes /
@@ -221,6 +235,16 @@ def main():
         if last_err is not None:
             probes.append(
                 {"gaussians": n, "error": str(last_err)[:200]}
+            )
+    for n, b in batched_points:
+        try:
+            probes.append(
+                bench_point(n, h, w, tile_size, margin, iters=15, batch=b)
+            )
+        except Exception as e:  # noqa: BLE001
+            probes.append(
+                {"gaussians": n, "camera_batch": b,
+                 "error": str(e)[:200]}
             )
     ok = [p for p in probes if "error" not in p]
     if not ok:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..ops.projection import CameraIntrinsics, project_gaussians
 from ..ops.rasterize_ref import rasterize
-from ..ops.sh import eval_sh_color
+from ..ops.sh import eval_sh_color_flat
 from .gaussians import GaussianParams
 
 
@@ -97,8 +97,16 @@ def render(
         [params.means[:, j] - cam[j] for j in range(3)], axis=1
     )
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-    shs = jnp.concatenate([params.sh_0, params.sh_rest], axis=1)
-    colors = eval_sh_color(sh_degree, shs, dirs)  # [C, 3]
+    # FLAT SH coefficients: rank-2 intermediates keep the VJP's
+    # coefficient cotangent lane-padded (2.8x) instead of the rank-3
+    # pad/add fusion XLA lays out at 42.7x expansion (ops/sh.py docs)
+    c = params.sh_0.shape[0]
+    colors = eval_sh_color_flat(
+        sh_degree,
+        params.sh_0.reshape(c, 3),
+        params.sh_rest.reshape(c, -1),
+        dirs,
+    )  # [C, 3]
 
     opac_eff = opacities * (proj.radii > 0.0).astype(jnp.float32)
     if rasterizer is None:

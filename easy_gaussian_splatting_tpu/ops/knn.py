@@ -59,14 +59,28 @@ def _knn_dists_device(points: jnp.ndarray, k: int, chunk: int) -> jnp.ndarray:
 
 
 def knn_dists(points: np.ndarray, k: int = 3, chunk: int = 4096) -> np.ndarray:
-    """Distances [N, k] to the k nearest neighbors (self excluded)."""
+    """Distances [N, k] to the k nearest neighbors (self excluded).
+
+    Host KD-tree by default: init-time KNN is a one-shot O(N log N)
+    problem, and the chunked MXU brute force is O(N^2) — measured
+    round 4: cKDTree build+query at 3M points is 6.2 s on host, while
+    the device path needs ~90 s at 1M and CRASHES the TPU worker at 3M
+    (a [chunk, 3M]-lane program kills the worker; the 3M bench
+    regression of rounds 1-3 traced here, not to the raster kernels).
+    The device path remains as a scipy-free fallback for small clouds."""
     points = np.asarray(points, np.float32)
     n = points.shape[0]
     if n <= k:
         raise ValueError(f"need more than k={k} points, got {n}")
-    # each loop iteration materializes a [chunk, N] f32 distance block
-    # (+ its XLA temporaries); bound it to ~2 GB so multi-million-point
-    # clouds fit HBM (at 3M points the default chunk was a 49 GB block)
+    try:
+        from scipy.spatial import cKDTree
+    except ImportError:
+        cKDTree = None
+    if cKDTree is not None:
+        d, _ = cKDTree(points).query(points, k=k + 1, workers=-1)
+        return np.asarray(d[:, 1:], np.float32)  # drop self (distance 0)
+    # fallback: each loop iteration materializes a [chunk, N] f32
+    # distance block (+ XLA temporaries); bound it to ~2 GB
     max_chunk = max(64, int(512e6 // max(n, 1)) // 64 * 64)
     chunk = min(chunk, max_chunk, max(8, n))
     return np.asarray(_knn_dists_device(jnp.asarray(points), k, chunk))

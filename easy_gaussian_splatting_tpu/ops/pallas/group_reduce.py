@@ -17,7 +17,9 @@ from jax.experimental import pallas as pl
 
 
 def _kernel(x_ref, o_ref, *, b: int):
-    rows = x_ref[...]  # [R*B, L]
+    # accumulate in f32 regardless of input dtype (bf16 inputs are the
+    # rasterizer's hi/lo-lane gradient rows; each lane sums independently)
+    rows = x_ref[...].astype(jnp.float32)  # [R*B, L]
     r = o_ref.shape[0]
     o_ref[...] = rows.reshape(r, b, rows.shape[-1]).sum(axis=1)
 
@@ -44,6 +46,6 @@ def group_reduce(x: jnp.ndarray, b: int, interpret: bool = False):
         grid=(g // r,),
         in_specs=[pl.BlockSpec((r * b, lanes), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((r, lanes), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, lanes), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, lanes), jnp.float32),
         interpret=interpret,
     )(x)

@@ -46,11 +46,20 @@ def _hi_lo(x):
     return hi, lo
 
 
-def _mm(mask_bf16, x_f32):
-    """mask @ x with f32 accuracy: bf16 hi/lo split of x (mask is 0/1,
-    exact in bf16)."""
-    hi, lo = _hi_lo(x_f32)
+def _mm(mask_bf16, x):
+    """mask @ x with f32 accumulation. For f32 ``x``: bf16 hi/lo split
+    (mask is 0/1, exact in bf16). For bf16 ``x`` (the rasterizer's
+    hi/lo-lane gradient rows): one matmul — the input IS already the
+    decomposition, spread across lanes, and each lane accumulates
+    independently in f32."""
     dims = (((1,), (0,)), ((), ()))
+    if x.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            mask_bf16, x, dims,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+    hi, lo = _hi_lo(x)
     # precision must be DEFAULT: Mosaic rejects bf16 operands with an
     # fp32 contract_precision ("Bad lhs type"); accumulation is still
     # f32 via preferred_element_type (same rule as tile_raster._scan_mm)

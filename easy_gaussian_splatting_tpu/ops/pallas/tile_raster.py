@@ -69,13 +69,32 @@ ROW_MY = 14
 # cheaper than lane-strided gathers from a feature-major layout; the
 # kernel transposes each [128, CH] chunk in-register before the write
 # DMA). The minor dim is padded 11 -> 128 because Mosaic HBM windows must
-# be 128-lane sized/aligned — and XLA pads the minor dim of an [I, 16]
-# f32 buffer to 128 lanes physically anyway, so the consumer-side cost is
-# identical:
+# be 128-lane sized/aligned. The output dtype is BF16 with an exact
+# hi/lo lane split (the same decomposition the kernels' MXU scans use):
+# lane f holds the bf16 high half of gradient feature f, lane f+16 the
+# bf16 low half (hi + lo reconstructs f32 to ~2^-17 relative — far
+# inside the kernels' own ~1e-4 cancellation floor). 256 B/row instead
+# of the f32 layout's 512 halves every downstream gather/reduce byte AND
+# keeps the buffer below int32-byte addressing until ~8.4M intersections
+# (the f32 layout crossed 2^31 bytes at 4.19M — the 3M-Gaussian bench
+# regime needs ~7M).
+# lanes 0-10 (hi) / 16-26 (lo):
 # 0 v_mx, 1 v_my, 2 v_a, 3 v_b, 4 v_c, 5 v_opac, 6-8 v_rgb, 9 v_absx,
-# 10 v_absy, 11-127 pad
+# 10 v_absy; 11-15, 27-127 pad
 NUM_GRAD_FEATURES = 16
 NUM_GRAD_LANES = 128
+GRAD_DTYPE = jnp.bfloat16
+GRAD_LO_SHIFT = 16  # lane offset of the bf16 low halves
+
+
+def grad_rows_to_f32(rows: jnp.ndarray, n: int = 12) -> jnp.ndarray:
+    """Reconstruct f32 gradient columns [*, n] from bf16 hi/lo rows
+    [*, 128] (lanes f + f+GRAD_LO_SHIFT). Also accepts an f32 row matrix
+    whose lanes follow the same split (e.g. segment-reduced sums of bf16
+    rows accumulated in f32)."""
+    return rows[..., :n].astype(jnp.float32) + rows[
+        ..., GRAD_LO_SHIFT : GRAD_LO_SHIFT + n
+    ].astype(jnp.float32)
 
 
 def _shift_lanes(x: jnp.ndarray, shift: int, fill: float) -> jnp.ndarray:
@@ -539,8 +558,14 @@ def _bwd_kernel(
         )  # [128, CH]
         # transpose to row-major [CH, 128] before the write so the output
         # array's per-intersection rows are contiguous (the consumer's
-        # permutation gather reads rows, not lanes)
-        new_out_t = jnp.swapaxes(new_out, 0, 1)
+        # permutation gather reads rows, not lanes), then split each f32
+        # into bf16 hi (lanes 0-10) + lo (lanes 16-26): x = hi + lo holds
+        # to ~2^-17 relative, and the lanes are disjoint so the add is
+        # exact
+        new_out_f = jnp.swapaxes(new_out, 0, 1)  # [CH, 128] f32
+        hi = new_out_f.astype(GRAD_DTYPE)
+        lo = (new_out_f - hi.astype(jnp.float32)).astype(GRAD_DTYPE)
+        new_out_t = hi + _shift_lanes(lo, GRAD_LO_SHIFT, 0.0)
 
         # the slot's previous write (chunk k+2) must land before reuse
         @pl.when(kk >= 2)
@@ -598,14 +623,14 @@ def tiled_backward(
     last_tiles: jnp.ndarray,  # [T, P] int32
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns per-intersection gradient rows [I_pad, 128] ROW-major
-    (column layout above; lanes 11+ are padding). Rows outside every
-    tile's range keep zeros (merge-writes + a zero-initialized aliased
-    output)."""
+    """Returns per-intersection gradient rows [I_pad, 128] ROW-major in
+    the bf16 hi/lo lane split (``GRAD_DTYPE`` docs above; decode with
+    :func:`grad_rows_to_f32`). Rows outside every tile's range keep
+    zeros (merge-writes + a zero-initialized aliased output)."""
     num_tiles = gimg_tiles.shape[0]
     p = basis.shape[0]
     i_pad = feats.shape[1]
-    zeros_init = jnp.zeros((i_pad, NUM_GRAD_LANES), jnp.float32)
+    zeros_init = jnp.zeros((i_pad, NUM_GRAD_LANES), GRAD_DTYPE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
@@ -623,8 +648,8 @@ def tiled_backward(
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
             pltpu.VMEM((2, NUM_FEATURES, BWD_CHUNK), jnp.float32),
-            pltpu.VMEM((2, BWD_CHUNK, NUM_GRAD_LANES), jnp.float32),
-            pltpu.VMEM((BWD_CHUNK, NUM_GRAD_LANES), jnp.float32),
+            pltpu.VMEM((2, BWD_CHUNK, NUM_GRAD_LANES), GRAD_DTYPE),
+            pltpu.VMEM((BWD_CHUNK, NUM_GRAD_LANES), GRAD_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -643,7 +668,7 @@ def tiled_backward(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((i_pad, NUM_GRAD_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, NUM_GRAD_LANES), GRAD_DTYPE),
         ],
         # alias the zeros input to the output so untouched lanes read as 0
         input_output_aliases={7: 0},

@@ -64,6 +64,24 @@ DEFAULT_TILE = 32
 DEFAULT_MAX_TILES_W = 4
 DEFAULT_MAX_TILES_H = 4
 
+# Hard per-buffer addressing bound for the intersection capacity: the
+# backward's [I_pad, 128] gradient-row buffer must stay below 2^31 BYTES
+# (int32 byte offsets in the DMA address path — the f32 layout crossed it
+# at 4.19M rows and took the TPU worker down with a kernel fault; the
+# bf16 hi/lo layout at 256 B/row moves the cliff to 8.39M rows, measured
+# round 4: 7M-row backward runs, f32 7M faulted). Autotune/watchdog clamp
+# against this in addition to the configured HBM budget; beyond it, shard
+# over a gauss mesh (parallel/gauss_shard.py).
+GRAD_ROW_BYTES = 256  # [128] lanes x bf16 (pallas/tile_raster.GRAD_DTYPE)
+ISECT_ROW_LIMIT = (2**31) // GRAD_ROW_BYTES - 512  # headroom for i_pad
+
+
+def max_isect_cap(hbm_budget_mb: float) -> int:
+    """Largest safe intersection capacity: the configured HBM budget
+    (~320 B/slot: [16, icap] f32 features + [icap, 128] bf16 gradient
+    rows) AND the int32 DMA addressing bound."""
+    return min(int(hbm_budget_mb * 1e6 / 320), ISECT_ROW_LIMIT)
+
 # The per-intersection feature matrix is FEATURE-MAJOR [16, I] (rows on
 # sublanes, intersections on lanes) — see pallas/tile_raster.py for the row
 # layout; TPU DMA windows must be 128-lane slices, which this layout gives.
@@ -851,7 +869,10 @@ def _core_bwd(
         # bandwidth)
         from .pallas.group_reduce import group_reduce
 
-        rows = dfeats[jnp.minimum(q, icap)]  # [D, 128]
+        # bf16 hi/lo rows (tile_raster.GRAD_DTYPE): gathers move 256 B
+        # rows; reductions accumulate in f32 per lane, and the final
+        # decode adds the hi + lo lanes
+        rows = dfeats[jnp.minimum(q, icap)]  # [D, 128] bf16
         if binning.in_ov is not None:
             # two-population: D = C*b_small + ov_cap*M (same statics the
             # binning used)
@@ -872,7 +893,9 @@ def _core_bwd(
             )
         else:
             dsum128 = group_reduce(rows, m, interpret=interpret)
-        dsum = jnp.where(truncated, 0.0, dsum128[:, :12])
+        from .pallas.tile_raster import grad_rows_to_f32
+
+        dsum = jnp.where(truncated, 0.0, grad_rows_to_f32(dsum128))
         v_m2d = dsum[:, 0:2]
         v_conic = dsum[:, 2:5]
         v_opac = dsum[:, 5]
@@ -914,13 +937,16 @@ def _core_bwd(
     if BWD_REDUCE == "pallas":
         from .pallas.segments import R as SEG_R
         from .pallas.segments import monotone_expand, segsum_compact
+        from .pallas.tile_raster import grad_rows_to_f32
 
         # pad the flat-sorted domain to the segment kernels' block size
-        # (pad rows are zeros in the dead-sentinel group, so sums are
-        # unchanged and group monotonicity is preserved)
+        # BY PADDING THE GATHER INDICES (positions >= icap address the
+        # kernel's guaranteed-zero tail rows), so the [I, 128] gather
+        # output is produced directly at the padded size — no second
+        # full-size pad copy coexisting with it
         i_seg = -(-icap // SEG_R) * SEG_R
-        rows = dfeats[p]  # [I, 128] orig-grouped (full-width gather)
-        rows = jnp.pad(rows, ((0, i_seg - icap), (0, 0)))
+        p_pad = jnp.pad(p, (0, i_seg - icap), constant_values=icap)
+        rows = dfeats[p_pad]  # [i_seg, 128] bf16, orig-grouped
         g_pad = jnp.pad(g, (0, i_seg - icap), constant_values=c)
         # groups = gaussians + the dead-sentinel group
         compact = segsum_compact(
@@ -942,7 +968,7 @@ def _core_bwd(
         dsum128 = monotone_expand(
             compact, rank, present_pad, interpret=interpret
         )[:c]
-        dsum = jnp.where(truncated, 0.0, dsum128[:, :12])
+        dsum = jnp.where(truncated, 0.0, grad_rows_to_f32(dsum128))
         v_m2d = dsum[:, 0:2]
         v_conic = dsum[:, 2:5]
         v_opac = dsum[:, 5]
@@ -959,8 +985,11 @@ def _core_bwd(
     # transposes, faster gather), but LOSES at small icap where XLA
     # fuses the feature-major variant better (38.7 vs 29.3 ms at 100k —
     # the round-2 "wide-gather" negative result)
+    from .pallas.tile_raster import grad_rows_to_f32
+
     if icap >= 1_500_000:
-        rows = dfeats[p]  # [I, 128] orig-grouped (full-width row gather)
+        # bf16 row gather (256 B/row), f32 accumulation in the scan
+        rows = dfeats[p].astype(jnp.float32)  # [I, 128] orig-grouped
         k = 1
         while k < m:
             g_ahead = jnp.concatenate(
@@ -975,11 +1004,16 @@ def _core_bwd(
             k *= 2
         dsum = jnp.where(
             have[:, None],
-            rows[jnp.minimum(starts, icap - 1)][:, :12],
+            grad_rows_to_f32(rows[jnp.minimum(starts, icap - 1)]),
             0.0,
         )  # [C, 12]
     else:
-        rows = dfeats[:icap, :12][p]  # [I, 12] orig-grouped
+        # decode hi/lo lanes ONCE into a compact [I, 12] f32 matrix (one
+        # streaming pass), then gather in the sliced form XLA fuses best
+        # at small icap (the round-3 fast path; a full-width gather here
+        # measured +6.7 ms at the 100k point)
+        dec = grad_rows_to_f32(dfeats[:icap])  # [I, 12] f32
+        rows = dec[p]  # [I, 12] orig-grouped
         rt = jnp.swapaxes(rows, 0, 1)  # [12, I] feature-major
         k = 1
         while k < m:

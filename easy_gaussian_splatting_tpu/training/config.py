@@ -120,7 +120,7 @@ class Config:
     # the watchdog may grow ov_frac instead when overflow rises)
     small_budget: int = 9
     # HBM budget for the per-intersection buffers (feature matrix
-    # [16, icap] f32 + backward gradient rows [icap, 128] f32 ≈ 576 B per
+    # [16, icap] f32 + backward gradient rows [icap, 128] bf16 ≈ 320 B per
     # slot). Bounds the isect watchdog's doubling so repeated growths
     # cannot exhaust device memory; steps needing more keep their
     # gradients zeroed (and logged) instead of OOMing the chip.

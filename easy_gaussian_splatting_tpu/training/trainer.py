@@ -635,7 +635,9 @@ def train(
         )
         n, n_ov = int(vals[0]), int(vals[1])
         cap = loop.model.capacity
-        max_mult = (cfg.isect_hbm_budget_mb * 1e6 / 576) / max(cap, 1)
+        from ..ops.rasterize_tiled import max_isect_cap
+
+        max_mult = max_isect_cap(cfg.isect_hbm_budget_mb) / max(cap, 1)
         # 1.2x headroom (A/B: 1.3 -> 1.15 saved ~9 ms/step at 1M by
         # shrinking every per-row cost; 1.2 keeps slack for
         # camera-to-camera variance, growth triggers at 90%)
@@ -703,7 +705,9 @@ def train(
             # rows [icap, 128] f32) so repeated doublings cannot OOM the
             # chip; capped steps keep zeroing overflowed gradients, which
             # is lossy but recoverable
-            max_mult = (cfg.isect_hbm_budget_mb * 1e6 / 576) / max(
+            from ..ops.rasterize_tiled import max_isect_cap
+
+            max_mult = max_isect_cap(cfg.isect_hbm_budget_mb) / max(
                 loop.model.capacity, 1
             )
             want_mult = round(min(cfg.isect_mult * 2, max_mult), 3)
@@ -1007,7 +1011,7 @@ def train(
                     all_tb_info[f"render/{k}"] = v
                 elif k in (
                     "psnr", "ssim", "lpips", "lpips_proxy", "fps",
-                    "latency_ms",
+                    "latency_ms", "latency_device_ms",
                 ):
                     all_tb_info[f"eval/{k}"] = v
             logger.info(

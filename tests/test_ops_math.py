@@ -74,6 +74,46 @@ class TestSH:
         rgb = jnp.asarray(rng.uniform(size=(10, 3)).astype(np.float32))
         np.testing.assert_allclose(sh0_to_rgb(rgb_to_sh0(rgb)), rgb, atol=1e-6)
 
+    def test_flat_matches_rank3(self, rng):
+        # the renderer's flat form (rank-2 VJP intermediates; ops/sh.py
+        # layout-pathology docs) must match eval_sh exactly, values AND
+        # coefficient gradients, at every degree
+        import jax
+
+        from easy_gaussian_splatting_tpu.ops.sh import eval_sh_flat
+
+        n = 33
+        sh = rng.normal(size=(n, 16, 3)).astype(np.float32)
+        dirs = rng.normal(size=(n, 3)).astype(np.float32)
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        sh_j = jnp.asarray(sh)
+        dirs_j = jnp.asarray(dirs)
+        for deg in range(4):
+            ref = eval_sh(deg, sh_j, dirs_j)
+            flat = eval_sh_flat(
+                deg, sh_j[:, 0, :], sh_j[:, 1:, :].reshape(n, -1), dirs_j
+            )
+            np.testing.assert_allclose(
+                np.asarray(flat), np.asarray(ref), atol=1e-6
+            )
+
+            def loss_ref(s):
+                return jnp.sum(eval_sh(deg, s, dirs_j) ** 2)
+
+            def loss_flat(s):
+                return jnp.sum(
+                    eval_sh_flat(
+                        deg, s[:, 0, :], s[:, 1:, :].reshape(n, -1), dirs_j
+                    )
+                    ** 2
+                )
+
+            g_ref = jax.grad(loss_ref)(sh_j)
+            g_flat = jax.grad(loss_flat)(sh_j)
+            np.testing.assert_allclose(
+                np.asarray(g_flat), np.asarray(g_ref), atol=1e-5
+            )
+
     def test_orthonormality(self, rng):
         # MC integration of basis products over the sphere approximates I/(4pi)
         n = 200000
