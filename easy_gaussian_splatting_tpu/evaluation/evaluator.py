@@ -61,6 +61,40 @@ class Evaluator:
             self._jitted[key] = run
         return self._jitted[key]
 
+    def _loop_fn(self, height: int, width: int, sh_degree: int, n_iters: int):
+        """Jitted ``n_iters``-render chain with a data dependency between
+        iterations (each camera is perturbed by the previous render), so
+        remote dispatch caching cannot serve repeats and the device must
+        execute every render serially. Differencing two loop lengths
+        cancels the fixed dispatch/link cost — the basis of
+        ``latency_device_ms`` (CLAUDE.md tunnel-timing rules)."""
+        key = (height, width, sh_degree, "lat", n_iters)
+        if key not in self._jitted:
+
+            @jax.jit
+            def run(params, alive, w2c, K, background):
+                absd = jnp.zeros((params.means.shape[0], 2), jnp.float32)
+
+                def body(_i, carry):
+                    w2c_c, acc = carry
+                    camera = CameraView(
+                        w2c=w2c_c, K=K, width=width, height=height
+                    )
+                    out = self.render_fn(
+                        params, alive, camera, sh_degree, background, absd
+                    )
+                    v = out.image[0, 0, 0]
+                    w2c_n = w2c_c.at[0, 3].add(1e-12 * v + 1e-7)
+                    return w2c_n, acc + v
+
+                _, acc = jax.lax.fori_loop(
+                    0, n_iters, body, (w2c, jnp.float32(0.0))
+                )
+                return acc
+
+            self._jitted[key] = run
+        return self._jitted[key]
+
     def evaluate(
         self,
         scene,
@@ -174,4 +208,31 @@ class Evaluator:
                 np.asarray(run(*args)[2])
                 times.append(time.perf_counter() - t1)
             metrics["latency_ms"] = float(np.median(times) * 1e3)
+            # true ON-DEVICE per-frame render latency (the number
+            # comparable to the reference's per-frame FPS timing,
+            # /root/reference/eval.py:40-43,70): time a jitted 6-render
+            # chain and a 2-render chain (data-dependent iterations, so
+            # nothing can be cached or overlapped away) and difference —
+            # the fixed dispatch + link round trip cancels, leaving 4x
+            # the pure device render time.
+            h_, w_ = last_args[5].shape[0], last_args[5].shape[1]
+            sh_ = sh_degree
+            params_, alive_, w2c_, K_, bg_ = (
+                last_args[0], last_args[1], last_args[2], last_args[3],
+                last_args[4],
+            )
+            loop_times = {}
+            for n_it in (2, 6):
+                lf = self._loop_fn(h_, w_, sh_, n_it)
+                # warm-up (compile), then 2 timed reps with distinct data
+                np.asarray(lf(params_, alive_, w2c_, K_, bg_))
+                reps = []
+                for rep in range(2):
+                    w2c_r = w2c_ + jnp.float32(1e-6) * (rep + 1)
+                    t1 = time.perf_counter()
+                    np.asarray(lf(params_, alive_, w2c_r, K_, bg_))
+                    reps.append(time.perf_counter() - t1)
+                loop_times[n_it] = min(reps)
+            dev = max(loop_times[6] - loop_times[2], 0.0) / 4.0
+            metrics["latency_device_ms"] = float(dev * 1e3)
         return metrics

@@ -230,13 +230,17 @@ def make_striped_isect_counter(
     max_tiles_h: int,
     ov_frac: float = 0.125,
     small_budget: int | None = None,
+    reduce: str = "max",
 ):
     """Mesh-aware intersection counter: bins each chip's image stripe
     (exactly as the sharded tiled step does, including bottom padding to
     a stripe multiple) and returns the per-chip MAX of [num_isects,
     num_overflow, *n_gt] — the quantities the per-chip capacities must
     cover. Used by the trainer's autotune/watchdog when ``mesh_shape`` is
-    set."""
+    set. ``reduce="none"`` returns the UNreduced per-chip matrix
+    [n_dev, 2 + len(BUDGET_CANDIDATES)] instead (stripe load-imbalance
+    diagnostics — per-chip compute balance is the scaling gate,
+    docs/PLAN.md)."""
     from ..ops.projection import CameraIntrinsics, project_gaussians
     from ..ops.rasterize_tiled import (
         SMALL_BUDGET,
@@ -293,13 +297,15 @@ def make_striped_isect_counter(
                     binning.n_gt,
                 ]
             )
+            if reduce == "none":
+                return local[None, :]  # stacked over chips by out_specs
             return jax.lax.pmax(local, axes)
 
         fn = shard_map(
             per_chip,
             mesh=mesh,
             in_specs=(P(), P(), P(), P()),
-            out_specs=P(),
+            out_specs=P(axes) if reduce == "none" else P(),
             check_vma=False,
         )
         return fn(params, alive, w2c, K)
