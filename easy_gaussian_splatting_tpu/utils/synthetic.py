@@ -24,20 +24,61 @@ import numpy as np
 SH_C0 = 0.28209479177387814
 
 
-def make_gt_gaussians(n: int = 300, seed: int = 0, sh_degree: int = 0):
-    """A colorful, fittable ground-truth Gaussian scene inside [-1, 1]^3.
+def make_gt_gaussians(
+    n: int = 300,
+    seed: int = 0,
+    sh_degree: int = 0,
+    layout: str = "box",
+    aniso: float = 1.0,
+):
+    """A colorful, fittable ground-truth Gaussian scene.
 
     Colors are SH coefficients [n, (sh_degree+1)^2, 3]: the DC term encodes
     a base albedo; ``sh_degree >= 1`` adds random higher-order coefficients
     so the GT is genuinely view-dependent (the regime the reference's
     nerf_synthetic/tandt scenes train in). Scales shrink with n^(1/3) so
-    dense scenes stay resolvable rather than merging into mush."""
+    dense scenes stay resolvable rather than merging into mush.
+
+    ``layout="unbounded"`` mimics the tandt_db capture geometry
+    (`/root/reference/README.md` Truck/Train): 70% of the population in
+    the central [-1.2, 1.2]^3 working volume, 30% on background shells
+    out to radius ~12 (heavy-tailed radial distribution), so depth spans
+    two orders of magnitude and screen footprints range from sub-pixel to
+    tile-crossing. ``aniso > 1`` stretches each Gaussian's axes by
+    lognormal factors with ratios up to ~aniso (street scenes are full of
+    elongated structures; isotropic GT under-exercises the rectangle
+    binning and the split heuristics)."""
     rng = np.random.default_rng(seed)
-    means = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
+    if layout == "unbounded":
+        n_core = int(n * 0.7)
+        core = rng.uniform(-1.2, 1.2, size=(n_core, 3))
+        u = rng.uniform(0.0, 1.0, size=(n - n_core,))
+        r = 2.5 / np.maximum(u, 1e-3) ** 0.6  # heavy tail, r in [2.5, ~160]
+        r = np.minimum(r, 12.0)
+        d = rng.normal(size=(n - n_core, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        means = np.concatenate([core, d * r[:, None]], axis=0).astype(
+            np.float32
+        )
+        # background gaussians scale with their distance (constant
+        # angular size), like real SfM backgrounds
+        rad_scale = np.concatenate(
+            [np.ones(n_core), r / 2.5], axis=0
+        )[:, None]
+    else:
+        means = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
+        rad_scale = np.ones((n, 1))
     f = min(1.0, (300.0 / max(n, 1)) ** (1.0 / 3.0))
     scales = (
-        rng.uniform(0.04, 0.14, size=(n, 3)) * f
+        rng.uniform(0.04, 0.14, size=(n, 3)) * f * rad_scale
     ).astype(np.float32)
+    if aniso > 1.0:
+        stretch = np.exp(
+            rng.uniform(
+                -0.5 * np.log(aniso), 0.5 * np.log(aniso), size=(n, 3)
+            )
+        )
+        scales = (scales * stretch).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     base = rng.uniform(0.05, 0.95, size=(n, 1, 3))
@@ -175,12 +216,16 @@ def generate_blender_scene(
     seed: int = 0,
     sh_degree: int = 0,
     with_masks: bool = False,
+    layout: str = "box",
+    aniso: float = 1.0,
 ) -> Path:
     """Write a blender-format dataset rendered from a GT Gaussian scene."""
     from PIL import Image
 
     out_dir = Path(out_dir)
-    gt = make_gt_gaussians(n_gaussians, seed, sh_degree=sh_degree)
+    gt = make_gt_gaussians(
+        n_gaussians, seed, sh_degree=sh_degree, layout=layout, aniso=aniso
+    )
     fov_x = 0.9
     fx = image_size / (2.0 * np.tan(fov_x / 2.0))
 
@@ -222,6 +267,8 @@ def generate_colmap_scene(
     seed: int = 0,
     sh_degree: int = 0,
     with_masks: bool = False,
+    layout: str = "box",
+    aniso: float = 1.0,
 ) -> Path:
     """Write a COLMAP-format dataset (binary sparse model + images)
     rendered from a GT Gaussian scene; the init point cloud samples the GT
@@ -233,7 +280,9 @@ def generate_colmap_scene(
     sparse.mkdir(parents=True, exist_ok=True)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
 
-    gt = make_gt_gaussians(n_gaussians, seed, sh_degree=sh_degree)
+    gt = make_gt_gaussians(
+        n_gaussians, seed, sh_degree=sh_degree, layout=layout, aniso=aniso
+    )
     means, scales, quats, shs, opac = gt
     colors = np.clip(shs[:, 0] * SH_C0 + 0.5, 0.0, 1.0)  # albedo for SfM
     rng = np.random.default_rng(seed + 7)

@@ -44,6 +44,20 @@ def main():
     )
     parser.add_argument("--cameras", type=int, default=24)
     parser.add_argument(
+        "--layout", default="box", choices=("box", "unbounded"),
+        help="GT scene layout: box=[-1,1]^3; unbounded=tandt-like "
+        "(70%% core + heavy-tailed background shells to radius 12)",
+    )
+    parser.add_argument(
+        "--aniso", type=float, default=1.0,
+        help="GT scale anisotropy: per-axis lognormal stretch ratio",
+    )
+    parser.add_argument(
+        "--densify-grad-thresh", type=float, default=0.0,
+        help="override cfg.densify_grad_thresh (0 = config default); "
+        "lower = more aggressive densification",
+    )
+    parser.add_argument(
         "--min-psnr", type=float, default=22.0,
         help="validation gate (lower for hard scenes / short runs)",
     )
@@ -91,7 +105,7 @@ def main():
                 data_dir, image_size=args.size, n_train=args.cameras,
                 n_test=max(2, args.cameras // 4),
                 n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
-                with_masks=args.masks,
+                with_masks=args.masks, layout=args.layout, aniso=args.aniso,
             )
         fmt_keys = dict(
             data_format="blender", white_background=True, eval_in_test=True,
@@ -102,7 +116,8 @@ def main():
             generate_colmap_scene(
                 data_dir, image_size=args.size, n_images=args.cameras,
                 n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
-                with_masks=args.masks,
+                with_masks=args.masks, layout=args.layout, aniso=args.aniso,
+                n_points=args.init_points,
             )
         fmt_keys = dict(
             data_format="colmap", white_background=False,
@@ -142,6 +157,9 @@ def main():
             save_model_iterations=[iters],
             log_every=100,
         )
+    extra = {}
+    if args.densify_grad_thresh > 0.0:
+        extra["densify_grad_thresh"] = args.densify_grad_thresh
     cfg = config_from_dict(
         dict(
             data=str(data_dir),
@@ -153,6 +171,7 @@ def main():
             dataloader_workers=2,
             **schedule,
             **fmt_keys,
+            **extra,
         )
     )
     set_global_state(cfg.random_seed, cfg.device)
