@@ -174,14 +174,73 @@ def _gt_render_fn(width: int, height: int, white_background: bool):
     return run
 
 
+@functools.lru_cache(maxsize=4)
+def _gt_render_fn_tiled(width: int, height: int, white_background: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.gaussians import GaussianParams
+    from ..models.render import CameraView, render
+    from ..ops.rasterize_tiled import make_tiled_render_fn
+
+    render_fn = make_tiled_render_fn(isect_mult=24)
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def run(means, scales, quats, shs, opac, w2c, fx, *, sh_degree):
+        k = shs.shape[1]
+        sh_pad = jnp.pad(shs, ((0, 0), (0, 16 - k), (0, 0)))
+        params = GaussianParams(
+            means=means,
+            log_scales=jnp.log(jnp.maximum(scales, 1e-12)),
+            quats=quats,
+            sh_0=sh_pad[:, :1],
+            sh_rest=sh_pad[:, 1:],
+            logit_opacities=jnp.log(opac / jnp.maximum(1.0 - opac, 1e-6)),
+        )
+        K = jnp.array(
+            [[fx, 0.0, width / 2.0], [0.0, fx, height / 2.0],
+             [0.0, 0.0, 1.0]], jnp.float32,
+        )
+        camera = CameraView(w2c=w2c, K=K, width=width, height=height)
+        bg = jnp.full((3,), 1.0 if white_background else 0.0, jnp.float32)
+        out = render_fn(
+            params, jnp.ones((means.shape[0],), bool), camera, sh_degree,
+            bg, jnp.zeros((means.shape[0], 2), jnp.float32),
+        )
+        return jnp.clip(out.image, 0.0, 1.0)
+
+    return run
+
+
 def render_gt(
     gt, w2c: np.ndarray, width: int, height: int, fx: float,
-    white_background: bool,
+    white_background: bool, method: str = "oracle",
 ) -> np.ndarray:
-    """Render the ground-truth scene with the oracle renderer (uint8)."""
+    """Render the ground-truth scene (uint8).
+
+    ``method="oracle"`` (default): the exact O(N*P) reference
+    rasterizer — independent of the production path, right for
+    correctness-bearing validation scenes. ``method="tiled"``: the
+    production tiled pipeline — ~1000x faster at 100k+ GT Gaussians
+    (the oracle's sequential chunk scan costs ~100 s/frame at 120k on
+    the remote chip), right for SCALE-regime datasets where the run
+    measures optimization/densification behavior and the tiled
+    renderer's correctness is already established against the oracle
+    (tests + scripts/tpu_kernel_check.py)."""
     import jax.numpy as jnp
 
     means, scales, quats, colors, opac = gt
+    if method == "tiled":
+        k = colors.shape[1]
+        sh_degree = {1: 0, 4: 1, 9: 2, 16: 3}[k]
+        run = _gt_render_fn_tiled(width, height, white_background)
+        img = run(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(colors), jnp.asarray(opac),
+            jnp.asarray(w2c.astype(np.float32)), jnp.float32(fx),
+            sh_degree=sh_degree,
+        )
+        return (np.asarray(img) * 255.0 + 0.5).astype(np.uint8)
     run = _gt_render_fn(width, height, white_background)
     img = run(
         jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
@@ -218,6 +277,7 @@ def generate_blender_scene(
     with_masks: bool = False,
     layout: str = "box",
     aniso: float = 1.0,
+    gt_renderer: str = "oracle",
 ) -> Path:
     """Write a blender-format dataset rendered from a GT Gaussian scene."""
     from PIL import Image
@@ -237,7 +297,7 @@ def generate_blender_scene(
         frames = []
         for i, w2c in enumerate(w2cs):
             img = render_gt(gt, w2c, image_size, image_size, fx,
-                            white_background)
+                            white_background, method=gt_renderer)
             Image.fromarray(img).save(out_dir / split / f"r_{i}.png")
             if with_masks:
                 _write_mask(
@@ -269,6 +329,7 @@ def generate_colmap_scene(
     with_masks: bool = False,
     layout: str = "box",
     aniso: float = 1.0,
+    gt_renderer: str = "oracle",
 ) -> Path:
     """Write a COLMAP-format dataset (binary sparse model + images)
     rendered from a GT Gaussian scene; the init point cloud samples the GT
@@ -305,7 +366,8 @@ def generate_colmap_scene(
             f.write(struct.pack("<idddddddi", i + 1, *q, *t, 1))
             f.write(f"im_{i:04d}.png".encode() + b"\x00")
             f.write(struct.pack("<Q", 0))
-            img = render_gt(gt, w2c, image_size, image_size, fx, False)
+            img = render_gt(gt, w2c, image_size, image_size, fx, False,
+                            method=gt_renderer)
             Image.fromarray(img).save(out_dir / "images" / f"im_{i:04d}.png")
             if with_masks:
                 (out_dir / "masks").mkdir(exist_ok=True)

@@ -53,6 +53,12 @@ def main():
         help="GT scale anisotropy: per-axis lognormal stretch ratio",
     )
     parser.add_argument(
+        "--gt-renderer", default="oracle", choices=("oracle", "tiled"),
+        help="renderer for GT frame generation: oracle (independent, "
+        "slow at 100k+ GT) or tiled (production path, ~1000x faster; "
+        "for scale-regime runs)",
+    )
+    parser.add_argument(
         "--densify-grad-thresh", type=float, default=0.0,
         help="override cfg.densify_grad_thresh (0 = config default); "
         "lower = more aggressive densification",
@@ -106,6 +112,7 @@ def main():
                 n_test=max(2, args.cameras // 4),
                 n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
                 with_masks=args.masks, layout=args.layout, aniso=args.aniso,
+                gt_renderer=args.gt_renderer,
             )
         fmt_keys = dict(
             data_format="blender", white_background=True, eval_in_test=True,
@@ -117,7 +124,7 @@ def main():
                 data_dir, image_size=args.size, n_images=args.cameras,
                 n_gaussians=args.gt_gaussians, sh_degree=args.gt_sh_degree,
                 with_masks=args.masks, layout=args.layout, aniso=args.aniso,
-                n_points=args.init_points,
+                n_points=args.init_points, gt_renderer=args.gt_renderer,
             )
         fmt_keys = dict(
             data_format="colmap", white_background=False,
