@@ -251,6 +251,33 @@ def test_striped_isect_counter_matches_step_channel():
     assert n_max == int(ld["isects"])
     assert n_max > 0
 
+    # per-chip mode: the unreduced matrix must be per-stripe counts whose
+    # max equals the pmax the watchdog sees
+    per_chip = np.asarray(
+        make_striped_isect_counter(
+            mesh, cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
+            ov_frac=cfg.ov_frac, reduce="none",
+        )(model.params, model.alive, w2c, K, height=H, width=W)
+    )
+    assert per_chip.shape[0] == 4
+    assert int(per_chip[:, 0].max()) == n_max
+
+
+def test_isect_capacity_clamps():
+    """max_isect_cap bounds by BOTH the HBM budget and the int32 DMA
+    addressing limit of the gradient-row buffer."""
+    from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+        GRAD_ROW_BYTES,
+        ISECT_ROW_LIMIT,
+        max_isect_cap,
+    )
+
+    # small budget: HBM-bound (320 B per intersection slot)
+    assert max_isect_cap(32) == int(32e6 / 320)
+    # huge budget: addressing-bound, never above the 2^31-byte row limit
+    assert max_isect_cap(1_000_000) == ISECT_ROW_LIMIT
+    assert (ISECT_ROW_LIMIT + 512) * GRAD_ROW_BYTES <= 2**31
+
 
 def test_graft_dryrun():
     import __graft_entry__ as g
