@@ -84,10 +84,13 @@ def bench_point(n, h, w, tile_size=32, margin=1.2, iters=30, batch=1):
 
     n_isect = int(vals[0])
     cap_lim = max_isect_cap(cfg.isect_hbm_budget_mb)
-    cfg.isect_mult = round(
-        min(max(0.25, n_isect * margin / model.capacity),
-            cap_lim / model.capacity),
-        3,
+    import math
+
+    cfg.isect_mult = (
+        math.floor(
+            min(max(0.25, n_isect * margin / model.capacity),
+                cap_lim / model.capacity) * 1e3
+        ) / 1e3
     )
     m_cells = cfg.max_tiles * cfg.max_tiles
     best_dom = None

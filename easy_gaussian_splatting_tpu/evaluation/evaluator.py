@@ -61,18 +61,20 @@ class Evaluator:
             self._jitted[key] = run
         return self._jitted[key]
 
-    def _loop_fn(self, height: int, width: int, sh_degree: int, n_iters: int):
-        """Jitted ``n_iters``-render chain with a data dependency between
-        iterations (each camera is perturbed by the previous render), so
-        remote dispatch caching cannot serve repeats and the device must
-        execute every render serially. Differencing two loop lengths
-        cancels the fixed dispatch/link cost — the basis of
-        ``latency_device_ms`` (CLAUDE.md tunnel-timing rules)."""
-        key = (height, width, sh_degree, "lat", n_iters)
+    def _loop_fn(self, height: int, width: int, sh_degree: int):
+        """Jitted render chain with a data dependency between iterations
+        (each camera is perturbed by the previous render), so remote
+        dispatch caching cannot serve repeats and the device must execute
+        every render serially. The iteration count is a TRACED fori_loop
+        bound — one executable serves every chain length, so the metric
+        costs one compile per renderer, not one per length. Differencing
+        two loop lengths cancels the fixed dispatch/link cost — the basis
+        of ``latency_device_ms`` (CLAUDE.md tunnel-timing rules)."""
+        key = (height, width, sh_degree, "lat")
         if key not in self._jitted:
 
             @jax.jit
-            def run(params, alive, w2c, K, background):
+            def run(params, alive, w2c, K, background, n_iters):
                 absd = jnp.zeros((params.means.shape[0], 2), jnp.float32)
 
                 def body(_i, carry):
@@ -221,16 +223,22 @@ class Evaluator:
                 last_args[0], last_args[1], last_args[2], last_args[3],
                 last_args[4],
             )
+            lf = self._loop_fn(h_, w_, sh_)
             loop_times = {}
             for n_it in (2, 6):
-                lf = self._loop_fn(h_, w_, sh_, n_it)
-                # warm-up (compile), then 2 timed reps with distinct data
-                np.asarray(lf(params_, alive_, w2c_, K_, bg_))
+                # warm-up, then 2 timed reps with distinct data (the
+                # executable is shared across lengths; n_iters is traced)
+                np.asarray(
+                    lf(params_, alive_, w2c_, K_, bg_, jnp.int32(n_it))
+                )
                 reps = []
                 for rep in range(2):
                     w2c_r = w2c_ + jnp.float32(1e-6) * (rep + 1)
                     t1 = time.perf_counter()
-                    np.asarray(lf(params_, alive_, w2c_r, K_, bg_))
+                    np.asarray(
+                        lf(params_, alive_, w2c_r, K_, bg_,
+                           jnp.int32(n_it))
+                    )
                     reps.append(time.perf_counter() - t1)
                 loop_times[n_it] = min(reps)
             dev = max(loop_times[6] - loop_times[2], 0.0) / 4.0

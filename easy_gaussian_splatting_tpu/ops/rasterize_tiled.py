@@ -1069,6 +1069,12 @@ def rasterize_tiled(
     from .pallas.tile_raster import CHUNK as _CHUNK
 
     isect_cap = -(-max(1, int(c * isect_mult)) // _CHUNK) * _CHUNK
+    # hard safety net at the one place isect_cap is actually derived:
+    # whatever the autotune/watchdog arithmetic produced (rounding can
+    # exceed their own clamp), the gradient-row buffer must stay inside
+    # int32 DMA byte addressing — silently capping here trades (watched,
+    # recoverable) truncation for a worker-killing kernel fault
+    isect_cap = min(isect_cap, (ISECT_ROW_LIMIT // _CHUNK) * _CHUNK)
     # zero-opacity Gaussians (dead capacity slots, alive-mask culls) must
     # not be binned: dead slots project to unit-scale blobs with large
     # radii and would exhaust the intersection capacity, truncating real

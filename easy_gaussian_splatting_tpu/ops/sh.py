@@ -59,43 +59,21 @@ def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     Returns:
       [..., 3] raw colors (caller adds 0.5 and clamps, matching the kernel
       convention the reference relies on).
+
+    Delegates to :func:`eval_sh_flat` (ONE copy of the basis polynomial
+    math); the reshapes are free at trace time and the flat form keeps
+    the VJP layout sane (see its docstring).
     """
-    if degree < 0 or degree > 3:
-        raise ValueError(f"degree must be in [0, 3], got {degree}")
-    result = C0 * sh[..., 0, :]
-    if degree >= 1:
-        x = dirs[..., 0:1]
-        y = dirs[..., 1:2]
-        z = dirs[..., 2:3]
-        result = (
-            result
-            - C1 * y * sh[..., 1, :]
-            + C1 * z * sh[..., 2, :]
-            - C1 * x * sh[..., 3, :]
-        )
-    if degree >= 2:
-        xx, yy, zz = x * x, y * y, z * z
-        xy, yz, xz = x * y, y * z, x * z
-        result = (
-            result
-            + C2[0] * xy * sh[..., 4, :]
-            + C2[1] * yz * sh[..., 5, :]
-            + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
-            + C2[3] * xz * sh[..., 7, :]
-            + C2[4] * (xx - yy) * sh[..., 8, :]
-        )
-    if degree >= 3:
-        result = (
-            result
-            + C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
-            + C3[1] * xy * z * sh[..., 10, :]
-            + C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
-            + C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
-            + C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
-            + C3[5] * z * (xx - yy) * sh[..., 14, :]
-            + C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
-        )
-    return result
+    lead = jnp.broadcast_shapes(sh.shape[:-2], dirs.shape[:-1])
+    sh_b = jnp.broadcast_to(sh, lead + sh.shape[-2:])
+    dirs_b = jnp.broadcast_to(dirs, lead + (3,))
+    sh2 = sh_b.reshape((-1,) + sh.shape[-2:])
+    dirs2 = dirs_b.reshape(-1, 3)
+    n = sh2.shape[0]
+    out = eval_sh_flat(
+        degree, sh2[:, 0, :], sh2[:, 1:, :].reshape(n, -1), dirs2
+    )
+    return out.reshape(lead + (3,))
 
 
 def eval_sh_color(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import math
 import random
 import time
 from pathlib import Path
@@ -641,7 +642,9 @@ def train(
         # 1.2x headroom (A/B: 1.3 -> 1.15 saved ~9 ms/step at 1M by
         # shrinking every per-row cost; 1.2 keeps slack for
         # camera-to-camera variance, growth triggers at 90%)
-        want = round(min(max(0.25, n * 1.2 / cap), max_mult), 3)
+        # FLOOR to 3 decimals: round() can exceed max_mult and re-cross the
+        # int32 addressing bound the clamp exists for
+        want = math.floor(min(max(0.25, n * 1.2 / cap), max_mult) * 1e3) / 1e3
         # choose the small-population budget + overflow fraction jointly
         # to minimize the binning sort domain C*b + M*ov_capacity — the
         # dominant cost at large N. The overflow population is pure
@@ -700,9 +703,9 @@ def train(
                     {"train/overflow_steps": overflow_steps},
                 )
         if n > 0.9 * cap:
-            # bound growth by the per-intersection HBM budget (~576 B per
+            # bound growth by the per-intersection HBM budget (~320 B per
             # slot: feature matrix [16, icap] f32 + backward gradient
-            # rows [icap, 128] f32) so repeated doublings cannot OOM the
+            # rows [icap, 128] bf16) so repeated doublings cannot OOM the
             # chip; capped steps keep zeroing overflowed gradients, which
             # is lossy but recoverable
             from ..ops.rasterize_tiled import max_isect_cap
@@ -710,7 +713,9 @@ def train(
             max_mult = max_isect_cap(cfg.isect_hbm_budget_mb) / max(
                 loop.model.capacity, 1
             )
-            want_mult = round(min(cfg.isect_mult * 2, max_mult), 3)
+            want_mult = (
+                math.floor(min(cfg.isect_mult * 2, max_mult) * 1e3) / 1e3
+            )
             if want_mult <= cfg.isect_mult:
                 logger.warning(
                     f"intersections {n} near capacity {cap:.0f} but "

@@ -207,7 +207,7 @@ def _gt_render_fn_tiled(width: int, height: int, white_background: bool):
             params, jnp.ones((means.shape[0],), bool), camera, sh_degree,
             bg, jnp.zeros((means.shape[0], 2), jnp.float32),
         )
-        return jnp.clip(out.image, 0.0, 1.0)
+        return jnp.clip(out.image, 0.0, 1.0), out.num_isects
 
     return run
 
@@ -234,12 +234,22 @@ def render_gt(
         k = colors.shape[1]
         sh_degree = {1: 0, 4: 1, 9: 2, 16: 3}[k]
         run = _gt_render_fn_tiled(width, height, white_background)
-        img = run(
+        img, n_isect = run(
             jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(colors), jnp.asarray(opac),
             jnp.asarray(w2c.astype(np.float32)), jnp.float32(fx),
             sh_degree=sh_degree,
         )
+        # truncated binning would silently corrupt the GT frames every
+        # downstream PSNR gate trusts — refuse instead
+        n_isect = int(n_isect)
+        cap = 24 * means.shape[0]
+        if n_isect > 0.95 * cap:
+            raise RuntimeError(
+                f"tiled GT render near/over intersection capacity "
+                f"({n_isect} of {cap}); use method='oracle' or reduce "
+                f"the scene"
+            )
         return (np.asarray(img) * 255.0 + 0.5).astype(np.uint8)
     run = _gt_render_fn(width, height, white_background)
     img = run(

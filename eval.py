@@ -84,7 +84,8 @@ def eval(training_output_path: str, iterations: Optional[int] = None):
             f"evaluation in {set_name:>10s}: psnr={m['psnr']:6.3f}, "
             f"ssim={m['ssim']:6.3f}, {lpips_tag}={m[lpips_tag]:6.3f}, "
             f"fps={m['fps']:6.3f}, "
-            f"latency={m.get('latency_ms', 0.0):6.1f}ms"
+            f"latency={m.get('latency_ms', 0.0):6.1f}ms, "
+            f"device_latency={m.get('latency_device_ms', 0.0):6.1f}ms"
         )
 
 

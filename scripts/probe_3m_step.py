@@ -74,9 +74,13 @@ def main():
         return
 
     cap_lim = max_isect_cap(cfg.isect_hbm_budget_mb)
-    cfg.isect_mult = round(
-        min(max(0.25, n_isect * 1.2 / model.capacity),
-            cap_lim / model.capacity), 3,
+    import math
+
+    cfg.isect_mult = (
+        math.floor(
+            min(max(0.25, n_isect * 1.2 / model.capacity),
+                cap_lim / model.capacity) * 1e3
+        ) / 1e3
     )
     m_cells = cfg.max_tiles * cfg.max_tiles
     best_dom = None

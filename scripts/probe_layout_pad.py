@@ -34,9 +34,12 @@ def timed_loop(fn, args, iters):
     ts = {}
     for n in (2, 12):
         best = 1e9
-        for _ in range(3):
+        for rep in range(3):
+            # tunnel rule: distinct data per dispatch (identical
+            # (executable, args) pairs can be served from a cache)
+            seeded = tuple(a + jnp.float32(1e-6) * (rep + 1) for a in args)
             t0 = time.perf_counter()
-            out = f(*args, n=n)
+            out = f(*seeded, n=n)
             np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
@@ -74,7 +77,7 @@ def main():
     def triad_packed(x, n):
         def body(i, x):
             return x * 1.000001 + 0.5 * jnp.float32(i)
-        return jax.lax.fori_loop(0, n, body, (x,))
+        return jax.lax.fori_loop(0, n, body, x)
 
     t_n = timed_loop(triad_narrow, narrow, 12)
     t_p = timed_loop(triad_packed, (packed,), 12)
