@@ -23,8 +23,13 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
+    ap.add_argument("--format", default="blender",
+                    choices=("blender", "colmap"))
     ap.add_argument("--gt-gaussians", type=int, default=20000)
     ap.add_argument("--gt-sh-degree", type=int, default=2)
+    ap.add_argument("--layout", default="box",
+                    choices=("box", "unbounded"))
+    ap.add_argument("--aniso", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--frames", type=int, default=4)
     args = ap.parse_args()
@@ -43,12 +48,16 @@ def main():
         make_gt_gaussians,
     )
 
+    # white background only on the blender path — mirrors the settings
+    # validate_e2e trains with for each format
+    white_bg = args.format == "blender"
     scene = Scene(
-        args.data, "blender", None, 100, True, 0.2, False, True,
-        False, 0, True, blender_init_points=16,
+        args.data, args.format, None, 100, True, 0.2, False, True,
+        False, 0, white_bg, blender_init_points=16,
     )
     means, scales, quats, shs, opac = make_gt_gaussians(
-        args.gt_gaussians, args.seed, sh_degree=args.gt_sh_degree
+        args.gt_gaussians, args.seed, sh_degree=args.gt_sh_degree,
+        layout=args.layout, aniso=args.aniso,
     )
     n = means.shape[0]
     params = GaussianParams(
@@ -61,7 +70,10 @@ def main():
     )
     alive = jnp.ones((n,), bool)
     render_fn = make_tiled_render_fn(isect_mult=12)
-    background = jnp.ones((3,), jnp.float32)
+    background = (
+        jnp.ones((3,), jnp.float32) if white_bg
+        else jnp.zeros((3,), jnp.float32)
+    )
 
     psnrs = []
     n_eval = min(scene.nbr_data("eval"), args.frames)

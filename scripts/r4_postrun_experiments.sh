@@ -12,6 +12,13 @@ run() {
   sleep 10
 }
 
+# 0. tandt-run wrap-up: fit ceiling of the unbounded colmap scene (the
+#    trained PSNR reads as "gap to this"), then the run report
+run python scripts/fit_ceiling.py --data .tandt_r4/data --format colmap \
+  --layout unbounded --aniso 4.0 --gt-gaussians 150000 --gt-sh-degree 2 \
+  --frames 4
+run python scripts/report_run.py /tmp/tandt_r4_full.log
+
 # 1. layout-padding probe: is a [C,3] f32 elementwise op physically
 #    moving 512 B rows? decides whether packed per-Gaussian state is the
 #    next structural win
