@@ -7,7 +7,7 @@ cd "$(dirname "$0")/.."
 
 run() {
   echo "=== $* ===" >> "$LOG"
-  timeout 1500 "$@" >> "$LOG" 2>&1
+  timeout "${T:-1500}" "$@" >> "$LOG" 2>&1
   echo "rc=$?" >> "$LOG"
   sleep 10
 }
@@ -34,6 +34,6 @@ run python bench.py 1000000 800 800 32 1.1
 # 4. bf16 quality regression: the round-3 hard-regime 6000-iter run
 #    (expect PSNR ~35.4 as in docs/PLAN.md; bf16 grad rows + flat SH
 #    must not move it)
-run python scripts/validate_e2e.py --iters 6000 --size 800 \
+T=3600 run python scripts/validate_e2e.py --iters 6000 --size 800 \
   --gt-gaussians 20000 --gt-sh-degree 2 --cameras 48 --masks \
   --out /tmp/r4_hard6k --min-psnr 33
