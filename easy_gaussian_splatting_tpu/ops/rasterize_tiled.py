@@ -41,14 +41,17 @@ import jax.numpy as jnp
 from .projection import CameraIntrinsics, project_gaussians
 
 # Backward per-Gaussian gradient reduction strategy (A/B via env):
-#   "pallas" (default): flat-sort + permutation gather + streaming
-#     Pallas segment-sum-with-compaction + monotone-expand kernels
-#     (ops/pallas/segments.py) — replaces the XLA segmented scan
-#     (measured 71 ms isolated at icap=2.56M) and the C-row
-#     group-start gather (45 ms) with two bandwidth-bound kernels.
-#   "scan": flat-sort + permutation gather + XLA segmented
-#     reduction over the COMPACT intersection capacity (~1.3x the live
-#     intersection count).
+#   "scan" (DEFAULT at every scale): flat-sort + permutation gather +
+#     XLA segmented reduction over the COMPACT intersection capacity
+#     (~1.3x the live intersection count).
+#   "pallas" (EXPERIMENTAL — loses in context): flat-sort + permutation
+#     gather + streaming Pallas segment-sum-with-compaction +
+#     monotone-expand kernels (ops/pallas/segments.py). Correct on chip
+#     and faster than the XLA scan in ISOLATION (71+45 ms -> two
+#     bandwidth-bound kernels at icap=2.56M), but the serial RMW window
+#     pattern (has_side_effects start/wait DMA pairs) defeats XLA's
+#     overlap: measured IN-CONTEXT 462 ms/step at 1M vs 158 ms scan
+#     (100k: 55 vs 29) — see docs/PLAN.md "Round-4 A/B".
 #   "dense": carry each sort entry's DENSE duplicate-slot id through the
 #     binning sort; the backward inverts that permutation with one cheap
 #     sort and gathers gradient rows straight into the dense grid, where
@@ -57,7 +60,6 @@ from .projection import CameraIntrinsics, project_gaussians
 #     sort domain, 6.5M there) is ~2.5x the intersection capacity, and
 #     every dense-path gather/reduce scales with D. Kept switchable for
 #     regimes where D ~ icap (large small_budget occupancy).
-# default "scan" until the pallas kernels are A/B'd on the real chip
 BWD_REDUCE = os.environ.get("EGS_TPU_BWD_REDUCE", "scan")
 
 DEFAULT_TILE = 32

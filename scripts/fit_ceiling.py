@@ -9,7 +9,9 @@ tiled-vs-oracle renderer deltas. A trained model's eval PSNR reads as
 "gap to this number".
 
 Usage: python scripts/fit_ceiling.py --data <dataset dir> \
-           --gt-gaussians 20000 --gt-sh-degree 2 [--size 800]
+           --gt-gaussians 20000 --gt-sh-degree 2 \
+           [--format colmap] [--layout unbounded] [--aniso 4.0] \
+           [--frames 4] [--seed 0]
 """
 
 import argparse

@@ -64,6 +64,12 @@ def main():
         "lower = more aggressive densification",
     )
     parser.add_argument(
+        "--max-tiles", type=int, default=0,
+        help="override cfg.max_tiles (0 = config default); the tile "
+        "footprint clamp (PARITY deviation 2) bites on unbounded "
+        "layouts with huge background gaussians",
+    )
+    parser.add_argument(
         "--min-psnr", type=float, default=22.0,
         help="validation gate (lower for hard scenes / short runs)",
     )
@@ -167,6 +173,8 @@ def main():
     extra = {}
     if args.densify_grad_thresh > 0.0:
         extra["densify_grad_thresh"] = args.densify_grad_thresh
+    if args.max_tiles > 0:
+        extra["max_tiles"] = args.max_tiles
     cfg = config_from_dict(
         dict(
             data=str(data_dir),
@@ -203,6 +211,14 @@ def main():
     from easy_gaussian_splatting_tpu.scene.scene import Scene
     from easy_gaussian_splatting_tpu.training.trainer import get_render_fn
 
+    # Re-seed before rebuilding the Scene: the colmap ratio split shuffles
+    # with the module-global RNG (scene/colmap.py:204-207), and training
+    # advanced that state — without re-seeding the rebuilt "eval" split
+    # would leak train frames (observed: 35.3 dB leaked vs 20.4 honest on
+    # the round-4 tandt run). Mirrors the reference eval.py:80 semantics.
+    set_global_state(cfg.random_seed, cfg.device)
+    random.seed(cfg.random_seed)
+    np.random.seed(cfg.random_seed)
     scene = Scene(
         cfg.data, cfg.data_format, None, cfg.total_iterations, cfg.eval,
         cfg.eval_split_ratio, cfg.eval_in_val, cfg.eval_in_test,
