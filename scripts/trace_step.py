@@ -33,18 +33,29 @@ def main():
         make_isect_counter,
     )
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = int(args[0]) if len(args) > 0 else 100_000
-    h = int(args[1]) if len(args) > 1 else 800
-    w = int(args[2]) if len(args) > 2 else 800
     top = 45
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
+    argv = sys.argv[1:]
+    if "--top" in argv:
+        i = argv.index("--top")
+        top = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    n = int(argv[0]) if len(argv) > 0 else 100_000
+    h = int(argv[1]) if len(argv) > 1 else 800
+    w = int(argv[2]) if len(argv) > 2 else 800
+
+    from easy_gaussian_splatting_tpu.models.gaussians import (
+        _round_up_capacity,
+    )
+    from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
+        BUDGET_CANDIDATES,
+        _ov_capacity,
+    )
 
     rng = np.random.default_rng(0)
     xyzs = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
     rgbs = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
-    model = init_gaussian_state(xyzs, rgbs, sh_degree=3)
+    capacity = None if n < 2_000_000 else _round_up_capacity(int(n * 1.05))
+    model = init_gaussian_state(xyzs, rgbs, sh_degree=3, capacity=capacity)
     adam = init_adam_state(model.params)
     cfg = config_from_dict(dict(renderer="tiled", white_background=True))
 
@@ -53,12 +64,29 @@ def main():
     )
     w2c = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
     counter = make_isect_counter(cfg.tile_size, cfg.max_tiles, cfg.max_tiles)
-    n_isect = int(
-        np.asarray(
-            counter(model.params, model.alive, w2c, K, height=h, width=w)
-        )[0]
+    vals = np.asarray(
+        counter(model.params, model.alive, w2c, K, height=h, width=w)
     )
-    cfg.isect_mult = round(max(0.25, n_isect * 1.3 / model.capacity), 3)
+    n_isect = int(vals[0])
+    cfg.isect_mult = round(max(0.25, n_isect * 1.2 / model.capacity), 3)
+    # budget/ov autotune exactly like bench.py so the trace matches the
+    # bench configuration
+    m_cells = cfg.max_tiles * cfg.max_tiles
+    best_dom = None
+    for bb, need in zip(BUDGET_CANDIDATES, vals[2:]):
+        if bb >= m_cells:
+            continue
+        ovf = round(max(0.01, min(1.0, int(need) * 2.0 / model.capacity)), 3)
+        dom = model.capacity * bb + m_cells * _ov_capacity(
+            model.capacity, ovf
+        )
+        if best_dom is None or dom < best_dom:
+            cfg.small_budget, cfg.ov_frac, best_dom = bb, ovf, dom
+    print(
+        f"capacity={model.capacity} isects={n_isect} "
+        f"b={cfg.small_budget} ov_frac={cfg.ov_frac} "
+        f"isect_mult={cfg.isect_mult} domain={best_dom}"
+    )
     step_fn = make_train_step(cfg, get_render_fn(cfg))
     image = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
     mask = jnp.zeros((h, w), jnp.float32)
