@@ -44,6 +44,12 @@ from .projection import CameraIntrinsics, project_gaussians
 #   "scan" (DEFAULT at every scale): flat-sort + permutation gather +
 #     XLA segmented reduction over the COMPACT intersection capacity
 #     (~1.3x the live intersection count).
+#   "band": flat-sort + permutation gather + one-pass Pallas band
+#     segsum (pallas/segments.py::segsum_band): per-block MXU matmul
+#     with a 128-row lookahead replaces the XLA log-step scan's
+#     ceil(log2 m) full-array add passes + materialized shifted slices.
+#     Parallel pipelined grid — none of the serial-RMW pattern that
+#     sank the "pallas" strategy.
 #   "pallas" (EXPERIMENTAL — loses in context): flat-sort + permutation
 #     gather + streaming Pallas segment-sum-with-compaction +
 #     monotone-expand kernels (ops/pallas/segments.py). Correct on chip
@@ -319,6 +325,9 @@ def bin_gaussians(
     ov_capacity: int | None = None,  # overflow-population slots (None: C//8)
     small_budget: int = SMALL_BUDGET,  # small-population cells per gaussian
     interpret: bool | None = None,  # Pallas interpret mode (binkeys path)
+    y_limit: jnp.ndarray | None = None,  # traced row count: bin only rows
+    # [0, y_limit) of the window (adaptive stripe sharding; rows beyond
+    # keep the static geometry but receive no intersections)
 ) -> Binning:
     if interpret is None:
         interpret = _interpret_default()
@@ -331,20 +340,35 @@ def bin_gaussians(
     if extents.ndim == 1:
         extents = jnp.stack([extents, extents], axis=1)
     valid = (extents[:, 0] > 0.0) & (extents[:, 1] > 0.0)
+    rx, ry = extents[:, 0], extents[:, 1]
+    mx, my = means2d[:, 0], means2d[:, 1]
+    lim_row = None
+    if y_limit is not None:
+        # dynamic vertical bound: exclude gaussians whose contributing
+        # rect starts at/below the limit, and clamp tile windows to it
+        # (the exact ellipse/tile test already handles the static bottom
+        # edge; this adds the traced one)
+        valid = valid & ((my - ry) < y_limit)
+        lim_row = jnp.maximum(
+            jnp.ceil(y_limit / ts).astype(jnp.int32), 1
+        )
     # everything below stays in ORIGINAL index space: the depth sort is
     # carried as a per-Gaussian rank in the sort key, never as permuted
     # copies of the per-Gaussian arrays (argsorts are ~0.15 ms; each
     # avoided [C,k] gather is ~1.1 ms at C=131k)
     order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
     rank = jnp.argsort(order)  # [C] depth rank of each original index
-    rx, ry = extents[:, 0], extents[:, 1]
     valid_s = valid
 
-    mx, my = means2d[:, 0], means2d[:, 1]
     tx0 = jnp.clip(jnp.floor((mx - rx) / ts), 0, tx_n - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((mx + rx) / ts), 0, tx_n - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((my - ry) / ts), 0, ty_n - 1).astype(jnp.int32)
     ty1 = jnp.clip(jnp.floor((my + ry) / ts), 0, ty_n - 1).astype(jnp.int32)
+    if lim_row is not None:
+        # valid gaussians have ty0 <= lim_row-1 (their rect starts above
+        # the limit); keep ty1 >= ty0 so window arithmetic stays sane for
+        # the masked-out rest
+        ty1 = jnp.maximum(jnp.minimum(ty1, lim_row - 1), ty0)
 
     # flexible duplication budget: each Gaussian may cover any w x h tile
     # window with w*h <= M (= max_tiles_w * max_tiles_h); oversized rects
@@ -719,6 +743,7 @@ def _prepare(
     ov_frac: float = 0.125,
     small_budget: int = SMALL_BUDGET,
     interpret: bool | None = None,
+    y_limit: jnp.ndarray | None = None,
 ):
     from .pallas.tile_raster import CHUNK
 
@@ -730,6 +755,7 @@ def _prepare(
         ov_capacity=_ov_capacity(means2d.shape[0], ov_frac),
         small_budget=small_budget,
         interpret=interpret,
+        y_limit=y_limit,
     )
     # the two-population sort domain can be smaller than a large
     # requested cap; clamp (both are static python ints)
@@ -762,6 +788,7 @@ def _prepare(
 
 def _tiled_impl(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+    y_limit,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
     interpret, ov_frac=0.125, small_budget=SMALL_BUDGET,
 ):
@@ -771,6 +798,7 @@ def _tiled_impl(
         means2d, conics, colors, opacities, radii, depths,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
         ov_frac=ov_frac, small_budget=small_budget, interpret=interpret,
+        y_limit=y_limit,
     )
     basis = tile_pixel_basis(geom)
     rgb_t, tfin_t, last_t = tiled_forward(
@@ -788,15 +816,17 @@ def _tiled_impl(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15)
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16)
 )
 def _rasterize_tiled_core(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+    y_limit,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
     interpret, ov_frac, small_budget,
 ):
     img, final_t, (binning, *_rest) = _tiled_impl(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+        y_limit,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
         interpret, ov_frac, small_budget,
     )
@@ -805,11 +835,13 @@ def _rasterize_tiled_core(
 
 def _core_fwd(
     means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+    y_limit,
     height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
     interpret, ov_frac, small_budget,
 ):
     img, final_t, (binning, feats, tfin_t, last_t) = _tiled_impl(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+        y_limit,
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
         interpret, ov_frac, small_budget,
     )
@@ -906,7 +938,8 @@ def _core_bwd(
         zero_radii = jnp.zeros_like(radii)
         zero_depths = jnp.zeros_like(depths)
         return (
-            v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths, v_abs
+            v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths,
+            v_abs, jnp.zeros((), jnp.float32),
         )
     # Reduce per-intersection rows to per-Gaussian rows WITHOUT a
     # duplicate-index scatter-add (measured 15 ns/row on chip — the single
@@ -979,17 +1012,48 @@ def _core_bwd(
         zero_radii = jnp.zeros_like(radii)
         zero_depths = jnp.zeros_like(depths)
         return (
-            v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths, v_abs
+            v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths,
+            v_abs, jnp.zeros((), jnp.float32),
         )
+    from .pallas.tile_raster import grad_rows_to_f32
+
+    if BWD_REDUCE == "band" and m <= 128:
+        # one-pass Pallas band segsum: per-block MXU matmul computes the
+        # segmented suffix sums directly (groups are contiguous and
+        # <= m <= 128 rows, so a 128-row lookahead window covers every
+        # suffix; parallel pipelined grid, no carries, no RMW windows —
+        # unlike the demoted segsum_compact). Replaces the XLA log-step
+        # scan whose ceil(log2 m) full-array f32[I,128] add passes +
+        # materialized shifted slices measured ~34 ms of the 158 ms
+        # 1M-Gaussian step (fusion.20-23 + slice.135-141 in the r5 HLO
+        # trace).
+        from .pallas.segments import LOOK as SEG_LOOK
+        from .pallas.segments import R as SEG_R
+        from .pallas.segments import segsum_band
+
+        i_band = -(-icap // SEG_R) * SEG_R
+        # positions >= icap address the backward kernel's guaranteed-zero
+        # tail rows; their group id joins the dead-sentinel group c
+        p_pad = jnp.pad(
+            p, (0, i_band + SEG_LOOK - icap), constant_values=icap
+        )
+        g_pad = jnp.pad(
+            g, (0, i_band + SEG_LOOK - icap), constant_values=c
+        )
+        rows_b = dfeats[p_pad]  # [i_band + LOOK, 128] bf16, orig-grouped
+        sums = segsum_band(rows_b, g_pad, interpret=interpret)
+        dsum = jnp.where(
+            have[:, None],
+            grad_rows_to_f32(sums[jnp.minimum(starts, icap - 1)]),
+            0.0,
+        )  # [C, 12]
     # the scan layout is scale-dependent (icap is static, so this is a
     # trace-time switch): row-major full-width wins at large icap
     # (measured 169.9 vs 188.1 ms/step at 1M Gaussians — no [12, I]
     # transposes, faster gather), but LOSES at small icap where XLA
     # fuses the feature-major variant better (38.7 vs 29.3 ms at 100k —
     # the round-2 "wide-gather" negative result)
-    from .pallas.tile_raster import grad_rows_to_f32
-
-    if icap >= 1_500_000:
+    elif icap >= 1_500_000:
         # bf16 row gather (256 B/row), f32 accumulation in the scan
         rows = dfeats[p].astype(jnp.float32)  # [I, 128] orig-grouped
         k = 1
@@ -1040,7 +1104,10 @@ def _core_bwd(
     v_abs = dsum[:, 9:11]
     zero_radii = jnp.zeros_like(radii)
     zero_depths = jnp.zeros_like(depths)
-    return (v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths, v_abs)
+    return (
+        v_m2d, v_conic, v_color, v_opac, zero_radii, zero_depths, v_abs,
+        jnp.zeros((), jnp.float32),
+    )
 
 
 _rasterize_tiled_core.defvjp(_core_fwd, _core_bwd)
@@ -1057,6 +1124,8 @@ def rasterize_tiled(
     return_isects: bool = False,
     ov_frac: float = 0.125,
     small_budget: int = SMALL_BUDGET,
+    y_limit: jnp.ndarray | None = None,  # traced rows: bin/raster only
+    # rows [0, y_limit) (adaptive stripe sharding, parallel/shard.py)
 ):
     """Tiled rasterization with the unified rasterizer signature (see
     ``models/render.py``). Returns (image [H,W,3], alpha [H,W]) — plus the
@@ -1082,8 +1151,14 @@ def rasterize_tiled(
     # radii and would exhaust the intersection capacity, truncating real
     # content from deep tiles
     radii = jnp.where(opacities > 0.0, radii, 0.0)
+    if y_limit is None:
+        # full-window limit: (my - ry) < height excludes only gaussians
+        # entirely below the image, which the exact tile test drops
+        # anyway — a single core signature covers both modes
+        y_limit = jnp.asarray(float(height), jnp.float32)
     img, final_t, num_isects = _rasterize_tiled_core(
         means2d, conics, colors, opacities, radii, depths, absgrad_dummy,
+        jnp.asarray(y_limit, jnp.float32),
         height, width, tile_size, max_tiles_w, max_tiles_h, isect_cap,
         interpret, ov_frac, small_budget,
     )
@@ -1128,6 +1203,9 @@ def make_isect_counter(
             max_tiles_h, conics=proj.conics, opacities=opac,
             ov_capacity=_ov_capacity(params.means.shape[0], ov_frac),
             small_budget=small_budget,
+            # rasterize_tiled applies an implicit y_limit=height
+            # (excludes pad-band gaussians); count identically
+            y_limit=jnp.asarray(float(height), jnp.float32),
         )
         return jnp.concatenate(
             [

@@ -289,6 +289,40 @@ class TestTiledBackward:
                 err_msg=f"grad mismatch: {nm}",
             )
 
+    def test_band_reduce_grads_match_scan(self, rng, monkeypatch):
+        """The Pallas band-segsum backward reduction (BWD_REDUCE=band)
+        must produce the same gradients as the XLA log-step scan."""
+        from easy_gaussian_splatting_tpu.ops import rasterize_tiled as rt
+
+        scene = _scene(rng, max_opac=0.9)
+        m2d, con, col, opa, rad, dep = scene
+        n = m2d.shape[0]
+        bg = jnp.array([0.1, 0.5, 0.9])
+        g_img = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+
+        def loss(m, c, k, o, d):
+            img, alpha = rasterize_tiled(
+                m, c, k, o, dep, bg, d, H, W, radii=rad,
+                tile_size=16, interpret=True, isect_mult=8,
+            )
+            return jnp.sum(img * g_img) + jnp.sum(alpha**2)
+
+        dummy = jnp.zeros((n, 2))
+        monkeypatch.setattr(rt, "BWD_REDUCE", "scan")
+        gs = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            m2d, con, col, opa, dummy
+        )
+        monkeypatch.setattr(rt, "BWD_REDUCE", "band")
+        gb = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            m2d, con, col, opa, dummy
+        )
+        names = ["means2d", "conic", "color", "opac", "absgrad"]
+        for a, b, nm in zip(gs, gb, names):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4,
+                err_msg=f"band vs scan grad mismatch: {nm}",
+            )
+
     def test_absgrad_positive_and_bounding(self, rng):
         scene = _scene(rng, max_opac=0.3)
         m2d, con, col, opa, rad, dep = scene

@@ -7,8 +7,10 @@ import pytest
 
 from easy_gaussian_splatting_tpu.ops.pallas.segments import (
     LANES,
+    LOOK,
     R,
     monotone_expand,
+    segsum_band,
     segsum_compact,
 )
 
@@ -59,6 +61,74 @@ def test_segsum_compact_group_spanning_blocks():
     )
     np.testing.assert_allclose(
         out[1], rows[700:].sum(0), atol=2e-4 * np.abs(rows).sum(0).max()
+    )
+
+
+def _suffix_sums(rows, g):
+    """Numpy oracle: out[i] = sum of rows[j] for j >= i, g[j] == g[i]."""
+    out = rows.copy()
+    for i in range(len(rows) - 2, -1, -1):
+        if g[i + 1] == g[i]:
+            out[i] += out[i + 1]
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+@pytest.mark.parametrize("dtype", [np.float32, "bf16"])
+def test_segsum_band_matches_numpy(nblocks, dtype):
+    rng = np.random.default_rng(4)
+    i_k = R * nblocks + LOOK
+    g = _make_groups(rng, i_k, n_groups=i_k // 3)
+    rows = rng.normal(size=(i_k, LANES)).astype(np.float32)
+    rows_in = (
+        jnp.asarray(rows)
+        if dtype is np.float32
+        else jnp.asarray(rows).astype(jnp.bfloat16)
+    )
+    out = np.asarray(
+        segsum_band(rows_in, jnp.asarray(g), interpret=True)
+    )
+    ref = rows if dtype is np.float32 else np.asarray(
+        jnp.asarray(rows).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    want = _suffix_sums(ref, g)[: R * nblocks]
+    np.testing.assert_allclose(
+        out, want, rtol=0, atol=2e-4 * np.abs(want).max()
+    )
+
+
+def test_segsum_band_group_spanning_blocks():
+    """Groups straddling the R-row block boundary must still get full
+    suffix sums via the lookahead window (max group length = LOOK)."""
+    rng = np.random.default_rng(5)
+    i_k = 2 * R + LOOK
+    g = np.arange(i_k, dtype=np.int32) // 7  # 7-row groups, unaligned
+    rows = rng.normal(size=(i_k, LANES)).astype(np.float32)
+    out = np.asarray(
+        segsum_band(jnp.asarray(rows), jnp.asarray(g), interpret=True)
+    )
+    want = _suffix_sums(rows, g)[: 2 * R]
+    np.testing.assert_allclose(
+        out, want, rtol=0, atol=2e-4 * np.abs(want).max()
+    )
+
+
+def test_segsum_band_max_length_group_at_boundary():
+    """A LOOK-row group starting on the last row of a block exercises
+    the full lookahead depth."""
+    rng = np.random.default_rng(6)
+    i_k = R + LOOK
+    g = np.zeros(i_k, np.int32)
+    g[: R - 1] = np.arange(R - 1) // 3
+    g[R - 1 :] = 10_000  # LOOK+1 rows... cap to LOOK
+    g[R - 1 + LOOK :] = 20_000
+    rows = rng.normal(size=(i_k, LANES)).astype(np.float32)
+    out = np.asarray(
+        segsum_band(jnp.asarray(rows), jnp.asarray(g), interpret=True)
+    )
+    want = _suffix_sums(rows, g)[:R]
+    np.testing.assert_allclose(
+        out, want, rtol=0, atol=2e-4 * np.abs(want).max()
     )
 
 
