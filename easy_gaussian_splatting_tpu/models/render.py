@@ -41,6 +41,10 @@ class CameraView(NamedTuple):
     height: int  # rasterized rows (the stripe height when sharded)
     full_height: int | None = None  # projection viewport rows (None: height)
     y_offset: jnp.ndarray | None = None  # stripe's first row (traced ok)
+    # adaptive stripes: only rows [0, y_limit) of the window receive
+    # content (traced row count; the tiled rasterizer skips binning
+    # beyond it, parallel/shard.py's adaptive partition)
+    y_limit: jnp.ndarray | None = None
 
 
 class RenderOutput(NamedTuple):
@@ -111,6 +115,9 @@ def render(
     opac_eff = opacities * (proj.radii > 0.0).astype(jnp.float32)
     if rasterizer is None:
         rasterizer = functools.partial(rasterize, chunk=chunk)
+    kw = {}
+    if camera.y_limit is not None:
+        kw["y_limit"] = camera.y_limit
     out = rasterizer(
         proj.means2d,
         proj.conics,
@@ -122,6 +129,7 @@ def render(
         camera.height,
         camera.width,
         radii=proj.radii,
+        **kw,
     )
     img, alpha = out[0], out[1]
     num_isects = out[2] if len(out) > 2 else None

@@ -260,10 +260,14 @@ def rasterize(
     chunk: int = 128,
     radii: jnp.ndarray | None = None,  # unified rasterizer signature; the
     # oracle composites every eligible Gaussian so radii are not needed
+    y_limit: jnp.ndarray | None = None,  # unified signature: the oracle
+    # renders every row; rows beyond an adaptive-stripe limit are simply
+    # ignored by the reassembly gather (a perf hint, not a correctness
+    # requirement)
 ):
     """Depth-sort then composite; blends the background like the reference
     (``C += T_final * bg``). Returns (image [H,W,3], alpha [H,W])."""
-    del radii
+    del radii, y_limit
     order = jnp.argsort(jnp.where(opacities > 0.0, depths, jnp.inf))
     img, final_t = rasterize_sorted(
         means2d[order],

@@ -110,7 +110,19 @@ def build_gauss_grads(
     axis, tile_axis, n_tiles = _mesh_axes(mesh)
     all_axes = mesh.axis_names
     n_gauss = mesh.devices.shape[0]
-    stripe_h = _stripe_dims(height, n_total)
+    _stripe_dims(height, n_total)
+    from .shard import (
+        adaptive_row_bounds,
+        effective_interleave,
+        reassemble_adaptive,
+        render_striped,
+        reorder_striped,
+    )
+
+    k_slabs = effective_interleave(
+        height, n_total, getattr(cfg, "stripe_interleave", 1)
+    )
+    partition = getattr(cfg, "stripe_partition", "adaptive")
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
     )
@@ -129,20 +141,50 @@ def build_gauss_grads(
         if tile_axis is not None:
             idx = idx * n_tiles + jax.lax.axis_index(tile_axis)
 
+        bounds_px = None
+        if partition == "adaptive":
+            bounds_px = jax.lax.stop_gradient(
+                adaptive_row_bounds(params, alive, w2c, K, height, n_total)
+            )
+
         def stripe_loss(params, absdummy):
-            y0 = (idx * stripe_h).astype(jnp.float32)
-            # full-image projection geometry + stripe raster window, so
-            # all chips see identical conics/radii (see CameraView)
-            camera = CameraView(
-                w2c=w2c, K=K, width=width, height=stripe_h,
-                full_height=height, y_offset=y0,
-            )
-            out = render_fn(
-                params, alive, camera, sh_degree, background, absdummy
-            )
-            full = jax.lax.all_gather(
-                out.image, all_axes, axis=0, tiled=True
-            )
+            # adaptive or uniform/interleaved stripes (see shard.py);
+            # full-image projection geometry so all chips see identical
+            # conics/radii (see CameraView)
+            if bounds_px is not None:
+                y0 = bounds_px[idx].astype(jnp.float32)
+                ylim = (bounds_px[idx + 1] - bounds_px[idx]).astype(
+                    jnp.float32
+                )
+                camera = CameraView(
+                    w2c=w2c, K=K, width=width, height=height,
+                    full_height=height, y_offset=y0, y_limit=ylim,
+                )
+                out = render_fn(
+                    params, alive, camera, sh_degree, background,
+                    absdummy,
+                )
+                stripe_img, radii, nis = (
+                    out.image, out.radii, out.num_isects
+                )
+                full = jax.lax.all_gather(
+                    stripe_img, all_axes, axis=0, tiled=True
+                )
+                full = reassemble_adaptive(
+                    full, bounds_px, n_total, height
+                )
+            else:
+                stripe_img, radii, nis = render_striped(
+                    render_fn, params, alive, w2c, K, width, height,
+                    n_total, idx, k_slabs, sh_degree, background,
+                    absdummy,
+                )
+                full = jax.lax.all_gather(
+                    stripe_img, all_axes, axis=0, tiled=True
+                )
+                full = reorder_striped(
+                    full, n_total, k_slabs, height, width
+                )
             ld = loss_dict(
                 full, image, mask, cfg.lambda_ssim,
                 log_scales=params.log_scales, alive=alive,
@@ -150,7 +192,7 @@ def build_gauss_grads(
                 max_scale_ratio=cfg.max_scale_ratio,
                 lambda_scale=cfg.lambda_scale,
             )
-            return ld["total"], (ld, out.radii, out.num_isects)
+            return ld["total"], (ld, radii, nis)
 
         absdummy = jnp.zeros((cap, 2), jnp.float32)
         (_, (ld, radii, nis)), (grads, absgrad) = jax.value_and_grad(

@@ -55,6 +55,132 @@ def _check_height(height: int, n_dev: int) -> int:
     return height // n_dev
 
 
+def effective_interleave(height: int, n_dev: int, want: int) -> int:
+    """Largest k <= ``want`` with height divisible by n_dev*k: the slab
+    count per chip for the interleaved stripe assignment (falls back
+    gracefully instead of raising on awkward heights)."""
+    k = max(1, int(want))
+    while k > 1 and height % (n_dev * k) != 0:
+        k -= 1
+    return k
+
+
+def render_striped(render_fn, params, alive, w2c, K, width, height,
+                   n_dev, idx, k_slabs, sh_degree, background, absdummy):
+    """Render one chip's share of the image as ``k_slabs`` interleaved
+    slabs (chip ``idx`` owns global slabs ``idx, idx + n_dev, ...``) and
+    return ``(image [stripe_h, W, 3], radii, num_isects)``.
+
+    A single contiguous stripe per chip (k=1) wastes ~43% of an 8-chip
+    mesh on object-centric scenes — the measured per-chip intersection
+    spread was max/mean 1.73 because the top/bottom stripes see almost
+    no content (docs/PLAN.md "Measured stripe load imbalance"). With the
+    strided assignment each chip samples the vertical content profile
+    k times at stride height/k, bounding the imbalance for smooth
+    profiles at the cost of k smaller binning+raster passes per chip.
+    ``num_isects`` is the per-slab MAX: each slab render owns a full
+    isect_mult * C buffer, so that is the quantity the capacity
+    watchdog must cover."""
+    stripe_h = height // n_dev
+    slab_h = stripe_h // k_slabs
+    imgs, radii, nis = [], None, None
+    for j in range(k_slabs):
+        y0 = ((j * n_dev + idx) * slab_h).astype(jnp.float32)
+        camera = CameraView(
+            w2c=w2c, K=K, width=width, height=slab_h,
+            full_height=height, y_offset=y0,
+        )
+        out = render_fn(
+            params, alive, camera, sh_degree, background, absdummy
+        )
+        imgs.append(out.image)
+        radii = out.radii if radii is None else jnp.maximum(
+            radii, out.radii
+        )
+        if out.num_isects is not None:
+            nis = out.num_isects if nis is None else jnp.maximum(
+                nis, out.num_isects
+            )
+    image = imgs[0] if k_slabs == 1 else jnp.concatenate(imgs, axis=0)
+    return image, radii, nis
+
+
+def reorder_striped(full, n_dev, k_slabs, height, width):
+    """Undo the chip-major row order of an all-gathered interleaved
+    image: gathered rows are (chip i, slab j) blocks; global row order
+    is slab-major (global slab = j * n_dev + i)."""
+    if k_slabs == 1:
+        return full
+    slab_h = height // (n_dev * k_slabs)
+    x = full.reshape((n_dev, k_slabs, slab_h) + full.shape[1:])
+    x = jnp.swapaxes(x, 0, 1)
+    return x.reshape((height,) + full.shape[1:])
+
+
+def adaptive_row_bounds(params, alive, w2c, K, height, n_parts):
+    """Content-adaptive contiguous partition of the image's PIXEL rows
+    into ``n_parts`` chips: boundaries are the row quantiles of the
+    projected Gaussian centers, so each chip's stripe carries ~1/n of
+    the content regardless of where it concentrates. Returns
+    [n_parts + 1] int32 pixel-row bounds (replicated — every chip
+    computes the same value from replicated inputs; one cheap
+    means-only projection + one [C] sort).
+
+    Rationale (docs/PLAN.md "Measured stripe load imbalance"): uniform
+    stripes waste ~43% of an 8-chip mesh on object-centric scenes
+    (per-chip isect spread max/mean 1.73), and interleaved slab
+    assignment REDUCES net throughput — slabs thinner than typical
+    footprints duplicate binning work faster than they balance it
+    (measured on the dryrun scene: k=1 max-chip 14.8k isects, k=2
+    20.8k, k=8 68.5k = every chip bins everything). Adaptive contiguous
+    pixel-row boundaries keep duplication at the k=1 level while
+    equalizing load; the center distribution is a load proxy
+    (footprint-weighted would be exact but needs full conics)."""
+    r_cw = w2c[:3, :3]
+    t_cw = w2c[:3, 3]
+    pc = params.means @ r_cw.T + t_cw[None, :]
+    z = pc[:, 2]
+    ok = alive & (z > 1e-2)
+    yc = K[1, 1] * pc[:, 1] / jnp.maximum(z, 1e-2) + K[1, 2]
+    yc = jnp.clip(yc, 0.0, float(height - 1))
+    yc = jnp.where(ok, yc, jnp.inf)  # invalid sort to the tail
+    yc_sorted = jax.lax.sort(yc)
+    n_ok = jnp.sum(ok, dtype=jnp.int32)
+    q = (
+        jnp.arange(1, n_parts, dtype=jnp.int32)
+        * n_ok
+        // jnp.int32(n_parts)
+    )
+    mids = yc_sorted[jnp.clip(q, 0, yc.shape[0] - 1)]
+    mids = jnp.where(
+        jnp.isfinite(mids), mids, 0.0
+    ).astype(jnp.int32) + 1  # boundary just below the quantile center
+    mids = jnp.clip(mids, 0, height)
+    bounds = jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.int32),
+            mids,
+            jnp.full((1,), height, jnp.int32),
+        ]
+    )
+    # monotone by construction (sorted quantiles); clamp defensively
+    return jax.lax.cummax(bounds)
+
+
+def reassemble_adaptive(gathered, bounds_px, n_dev, height):
+    """Assemble the full image from ``n_dev`` adaptively-bounded chip
+    windows: gathered is [n_dev * H, W, ...] chip-major, chip c's rows
+    [0, bounds_px[c+1] - bounds_px[c]) hold global rows starting at
+    bounds_px[c]. One H-row gather (differentiable; its transpose
+    scatters the pixel cotangents back to the producing chip)."""
+    r = jnp.arange(height, dtype=jnp.int32)
+    c = jnp.clip(
+        jnp.searchsorted(bounds_px, r, side="right") - 1, 0, n_dev - 1
+    )
+    idx = c * height + (r - bounds_px[c])
+    return gathered[idx]
+
+
 def build_sharded_grads(
     cfg: Config,
     mesh,
@@ -70,27 +196,50 @@ def build_sharded_grads(
     full-image gradients (psum of per-stripe contributions, normalized
     for the redundantly-computed loss)."""
     n_dev = mesh.devices.size
-    stripe_h = _check_height(height, n_dev)
+    _check_height(height, n_dev)
+    k_slabs = effective_interleave(
+        height, n_dev, getattr(cfg, "stripe_interleave", 1)
+    )
+    partition = getattr(cfg, "stripe_partition", "adaptive")
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
     )
 
-    def per_chip_loss(params, alive, absdummy, w2c, K, image, mask, sh_degree):
+    def per_chip_loss(params, alive, absdummy, w2c, K, image, mask,
+                      sh_degree, bounds_px):
         idx = jax.lax.axis_index(TILE_AXIS)
-        y0 = (idx * stripe_h).astype(jnp.float32)
-        # full-image projection geometry + stripe-local raster window:
-        # keeps conics/radii identical on every chip (see CameraView)
-        camera = CameraView(
-            w2c=w2c, K=K, width=width, height=stripe_h,
-            full_height=height, y_offset=y0,
-        )
-        out = render_fn(
-            params, alive, camera, sh_degree, background, absdummy
-        )
-        # gather stripes -> identical full image on every chip
-        full = jax.lax.all_gather(
-            out.image, TILE_AXIS, axis=0, tiled=True
-        )  # [H, W, 3]
+        if bounds_px is not None:
+            # content-adaptive contiguous stripe: static full-height
+            # window at a traced offset, binning bounded by the traced
+            # y_limit (see adaptive_tile_bounds)
+            y0 = bounds_px[idx].astype(jnp.float32)
+            ylim = (bounds_px[idx + 1] - bounds_px[idx]).astype(
+                jnp.float32
+            )
+            camera = CameraView(
+                w2c=w2c, K=K, width=width, height=height,
+                full_height=height, y_offset=y0, y_limit=ylim,
+            )
+            out = render_fn(
+                params, alive, camera, sh_degree, background, absdummy
+            )
+            stripe_img, radii, nis = out.image, out.radii, out.num_isects
+            full = jax.lax.all_gather(
+                stripe_img, TILE_AXIS, axis=0, tiled=True
+            )  # [n_dev * H, W, 3]
+            full = reassemble_adaptive(full, bounds_px, n_dev, height)
+        else:
+            # uniform (optionally interleaved) stripes; full-image
+            # projection geometry keeps conics/radii identical per chip
+            stripe_img, radii, nis = render_striped(
+                render_fn, params, alive, w2c, K, width, height,
+                n_dev, idx, k_slabs, sh_degree, background, absdummy,
+            )
+            # gather stripes -> identical full image on every chip
+            full = jax.lax.all_gather(
+                stripe_img, TILE_AXIS, axis=0, tiled=True
+            )  # [H, W, 3]
+            full = reorder_striped(full, n_dev, k_slabs, height, width)
         ld = loss_dict(
             full,
             image,
@@ -102,14 +251,20 @@ def build_sharded_grads(
             max_scale_ratio=cfg.max_scale_ratio,
             lambda_scale=cfg.lambda_scale,
         )
-        radii = jax.lax.pmax(out.radii, TILE_AXIS)
-        return ld["total"], (ld, radii, out.num_isects)
+        radii = jax.lax.pmax(radii, TILE_AXIS)
+        return ld["total"], (ld, radii, nis)
 
     def sharded_grads(params, alive, absdummy, w2c, K, image, mask,
                       sh_degree):
+        bounds_px = None
+        if partition == "adaptive":
+            bounds_px = jax.lax.stop_gradient(
+                adaptive_row_bounds(params, alive, w2c, K, height, n_dev)
+            )
         (total, (ld, radii, nis)), grads = jax.value_and_grad(
             per_chip_loss, argnums=(0, 2), has_aux=True
-        )(params, alive, absdummy, w2c, K, image, mask, sh_degree)
+        )(params, alive, absdummy, w2c, K, image, mask, sh_degree,
+          bounds_px)
         # The loss is computed redundantly on every chip from the
         # gathered image, so the all_gather transpose reduce-scatters
         # n identical cotangents: each chip's gradient is n x its
@@ -231,16 +386,21 @@ def make_striped_isect_counter(
     ov_frac: float = 0.125,
     small_budget: int | None = None,
     reduce: str = "max",
+    interleave: int = 1,
+    partition: str = "adaptive",
 ):
     """Mesh-aware intersection counter: bins each chip's image stripe
-    (exactly as the sharded tiled step does, including bottom padding to
-    a stripe multiple) and returns the per-chip MAX of [num_isects,
-    num_overflow, *n_gt] — the quantities the per-chip capacities must
-    cover. Used by the trainer's autotune/watchdog when ``mesh_shape`` is
-    set. ``reduce="none"`` returns the UNreduced per-chip matrix
-    [n_dev, 2 + len(BUDGET_CANDIDATES)] instead (stripe load-imbalance
-    diagnostics — per-chip compute balance is the scaling gate,
-    docs/PLAN.md)."""
+    (exactly as the sharded tiled step does — including bottom padding to
+    a stripe multiple and the ``interleave``-slab assignment) and returns
+    the per-chip MAX of [num_isects, num_overflow, *n_gt] — the
+    quantities the per-chip capacities must cover (per-slab max for
+    interleaved stripes: each slab render owns its own buffers). Used by
+    the trainer's autotune/watchdog when ``mesh_shape`` is set.
+    ``reduce="none"`` returns the UNreduced per-chip matrix
+    [n_dev, 2 + len(BUDGET_CANDIDATES)] instead, with entry 0 the
+    per-chip SUM over slabs (the chip's total binning work — the
+    load-balance diagnostic; per-chip compute balance is the scaling
+    gate, docs/PLAN.md)."""
     from ..ops.projection import CameraIntrinsics, project_gaussians
     from ..ops.rasterize_tiled import (
         SMALL_BUDGET,
@@ -258,8 +418,13 @@ def make_striped_isect_counter(
 
     @functools.partial(jax.jit, static_argnames=("height", "width"))
     def count(params, alive, w2c, K, *, height, width):
-        hp = -(-height // n_dev) * n_dev
+        # pad exactly like the sharded step does (trainer pads rows to a
+        # multiple of n_dev * interleave)
+        unit = n_dev * max(1, interleave)
+        hp = -(-height // unit) * unit
         stripe_h = hp // n_dev
+        k_slabs = effective_interleave(hp, n_dev, interleave)
+        slab_h = stripe_h // k_slabs
         c = params.means.shape[0]
 
         def per_chip(params, alive, w2c, K):
@@ -267,7 +432,6 @@ def make_striped_isect_counter(
             idx = jax.lax.axis_index(axes[0])
             for ax, size in zip(axes[1:], mesh.devices.shape[1:]):
                 idx = idx * size + jax.lax.axis_index(ax)
-            y0 = (idx * stripe_h).astype(jnp.float32)
             scales = jnp.exp(params.log_scales)
             opac = jax.nn.sigmoid(params.logit_opacities) * alive.astype(
                 jnp.float32
@@ -275,29 +439,66 @@ def make_striped_isect_counter(
             # match the sharded render exactly: full-image projection,
             # stripe-local screen coordinates (see CameraView)
             intr = CameraIntrinsics.from_K(K, width, hp)
-            proj = project_gaussians(
+            proj0 = project_gaussians(
                 params.means, params.quats, scales, w2c, intr
             )
-            proj = proj._replace(
-                means2d=proj.means2d
-                - jnp.stack([jnp.zeros((), jnp.float32), y0])[None, :]
-            )
-            radii = jnp.where(opac > 0.0, proj.radii, 0.0)
-            geom = image_geometry(stripe_h, width, tile_size)
-            extents = binning_extents(proj.conics, opac, radii)
-            binning = bin_gaussians(
-                proj.means2d, extents, proj.depths, geom, max_tiles_w,
-                max_tiles_h, conics=proj.conics, opacities=opac,
-                ov_capacity=_ov_capacity(c, ov_frac),
-                small_budget=small_budget,
-            )
-            local = jnp.concatenate(
-                [
-                    jnp.stack([binning.num_isects, binning.num_overflow]),
-                    binning.n_gt,
-                ]
-            )
+            radii = jnp.where(opac > 0.0, proj0.radii, 0.0)
+            extents = binning_extents(proj0.conics, opac, radii)
+
+            def bin_window(y0, geom, y_lim):
+                means2d = proj0.means2d - jnp.stack(
+                    [jnp.zeros((), jnp.float32), y0]
+                )[None, :]
+                binning = bin_gaussians(
+                    means2d, extents, proj0.depths, geom, max_tiles_w,
+                    max_tiles_h, conics=proj0.conics, opacities=opac,
+                    ov_capacity=_ov_capacity(c, ov_frac),
+                    small_budget=small_budget,
+                    y_limit=y_lim,
+                )
+                return jnp.concatenate(
+                    [
+                        jnp.stack(
+                            [binning.num_isects, binning.num_overflow]
+                        ),
+                        binning.n_gt,
+                    ]
+                )
+
+            if partition == "adaptive":
+                bounds_px = adaptive_row_bounds(
+                    params, alive, w2c, K, hp, n_dev
+                )
+                y0 = bounds_px[idx].astype(jnp.float32)
+                y_lim = (bounds_px[idx + 1] - bounds_px[idx]).astype(
+                    jnp.float32
+                )
+                local = bin_window(
+                    y0, image_geometry(hp, width, tile_size), y_lim
+                )
+                nis_sum = local[0]
+            else:
+                geom = image_geometry(slab_h, width, tile_size)
+                local = None
+                nis_sum = None
+                for j in range(k_slabs):
+                    y0 = ((j * n_dev + idx) * slab_h).astype(jnp.float32)
+                    # rasterize_tiled applies an implicit y_limit=height
+                    # (excludes pad-band gaussians); match it exactly
+                    cur = bin_window(
+                        y0, geom, jnp.asarray(float(slab_h), jnp.float32)
+                    )
+                    local = (
+                        cur if local is None else jnp.maximum(local, cur)
+                    )
+                    nis_sum = (
+                        cur[0] if nis_sum is None else nis_sum + cur[0]
+                    )
             if reduce == "none":
+                # entry 0: total per-chip work (sum over slabs for the
+                # interleaved mode) — the balance diagnostic; the rest
+                # stay per-window maxima
+                local = local.at[0].set(nis_sum)
                 return local[None, :]  # stacked over chips by out_specs
             return jax.lax.pmax(local, axes)
 

@@ -607,6 +607,8 @@ def train(
                 return make_striped_isect_counter(
                     mesh, cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
                     ov_frac=cfg.ov_frac, small_budget=cfg.small_budget,
+                    interleave=cfg.stripe_interleave,
+                    partition=cfg.stripe_partition,
                 )
             from ..ops.rasterize_tiled import make_isect_counter
 
@@ -831,7 +833,11 @@ def train(
         frame_cache = build_cache(
             scene, "train", cfg.data_device_cache_mb,
             num_workers=max(1, cfg.dataloader_workers),
-            pad_rows_to=mesh.devices.size if mesh is not None else 1,
+            pad_rows_to=(
+                mesh.devices.size * max(1, cfg.stripe_interleave)
+                if mesh is not None
+                else 1
+            ),
         )
         if scene.nbr_data("eval") > 0 and frame_cache is not None:
             # eval renders single-device full frames: keep it UNPADDED
@@ -930,7 +936,7 @@ def train(
             # pad rows to a stripe multiple; padded rows are masked out.
             # With the device cache on, frames arrive already padded and
             # device-resident (zero per-step host work).
-            n_dev = mesh.devices.size
+            n_dev = mesh.devices.size * max(1, cfg.stripe_interleave)
             h = data["height"]
             hp = -(-h // n_dev) * n_dev
             if getattr(data["image"], "shape", (0,))[0] == hp:

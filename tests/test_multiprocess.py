@@ -166,7 +166,15 @@ def test_mesh2d_gauss_step_matches_single_device():
     image = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
     mask = jnp.zeros((H, W))
 
-    cfg = config_from_dict(dict(renderer="tiled", raster_chunk=32))
+    # uniform partition: tile-aligned stripes give (near-)bitwise
+    # equivalence; the adaptive partition's reassociation band is
+    # asserted separately in tests/test_parallel.py
+    cfg = config_from_dict(
+        dict(
+            renderer="tiled", raster_chunk=32,
+            stripe_partition="uniform",
+        )
+    )
     render_fn = get_render_fn(cfg)
     g1, a1, ld1, r1 = make_grad_fn(cfg, render_fn)(
         model, w2c, K, image, mask, height=H, width=W, sh_degree=1

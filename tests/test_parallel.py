@@ -39,6 +39,13 @@ H, W = 32, 48
 # the tiled kernel's per-Gaussian reductions reassociate across the
 # stripe/full tilings (measured ~1.1e-4 of max|g| at this scene scale)
 GRAD_RTOL = {"ref": 1e-5, "tiled": 5e-4}
+# the adaptive partition's arbitrary-row tile origins shift the
+# tile-local sigma polynomial's cancellation, so borderline pixels can
+# cross the SIGMA_EPS acceptance boundary (an isolated near-threshold
+# alpha included on one tiling, excluded on the other) on top of
+# reduction reassociation — wider bands than the aligned-uniform case
+ADAPT_GRAD_RTOL = {"ref": 1e-5, "tiled": 5e-3}
+LOSS_RTOL = {"uniform": 1e-6, "adaptive": 5e-5}
 
 
 def _setup(seed=0):
@@ -54,8 +61,13 @@ def _setup(seed=0):
     return model, adam, w2c, K, image, mask
 
 
-def _cfg(renderer):
-    return config_from_dict(dict(renderer=renderer, raster_chunk=32))
+def _cfg(renderer, partition="uniform"):
+    return config_from_dict(
+        dict(
+            renderer=renderer, raster_chunk=32,
+            stripe_partition=partition,
+        )
+    )
 
 
 def _assert_grads_match(g_ref, a_ref, g_test, a_test, rtol):
@@ -76,11 +88,13 @@ def _assert_grads_match(g_ref, a_ref, g_test, a_test, rtol):
     )
 
 
+@pytest.mark.parametrize("partition", ["uniform", "adaptive"])
 @pytest.mark.parametrize("renderer", ["ref", "tiled"])
 @pytest.mark.parametrize("n_dev", [2, 8])
-def test_sharded_gradients_match_single_device(renderer, n_dev):
-    """Image-stripe sharding: psum'd pre-Adam gradients == monolithic."""
-    cfg = _cfg(renderer)
+def test_sharded_gradients_match_single_device(renderer, n_dev, partition):
+    """Image-stripe sharding: psum'd pre-Adam gradients == monolithic
+    (both the uniform and the content-adaptive stripe partitions)."""
+    cfg = _cfg(renderer, partition)
     render_fn = get_render_fn(cfg)
     model, _, w2c, K, image, mask = _setup()
 
@@ -93,19 +107,24 @@ def test_sharded_gradients_match_single_device(renderer, n_dev):
     )
 
     np.testing.assert_allclose(
-        float(ld1["total"]), float(ld2["total"]), rtol=1e-6
+        float(ld1["total"]), float(ld2["total"]),
+        rtol=LOSS_RTOL[partition],
     )
-    _assert_grads_match(g1, a1, g2, a2, GRAD_RTOL[renderer])
+    tol = (GRAD_RTOL if partition == "uniform" else ADAPT_GRAD_RTOL)
+    _assert_grads_match(g1, a1, g2, a2, tol[renderer])
     # full-image projection geometry -> radii identical on every chip
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
+@pytest.mark.parametrize("partition", ["uniform", "adaptive"])
 @pytest.mark.parametrize("renderer", ["ref", "tiled"])
 @pytest.mark.parametrize("n_dev", [2, 4])
-def test_gauss_sharded_gradients_match_single_device(renderer, n_dev):
+def test_gauss_sharded_gradients_match_single_device(
+    renderer, n_dev, partition
+):
     """ZeRO-style sharding: all-gather params + reduce-scatter grads
     reproduces the monolithic pre-Adam gradients."""
-    cfg = _cfg(renderer)
+    cfg = _cfg(renderer, partition)
     render_fn = get_render_fn(cfg)
     model, _, w2c, K, image, mask = _setup()
 
@@ -119,9 +138,11 @@ def test_gauss_sharded_gradients_match_single_device(renderer, n_dev):
     )(smodel, w2c, K, image, mask, sh_degree=1)
 
     np.testing.assert_allclose(
-        float(ld1["total"]), float(ld2["total"]), rtol=1e-6
+        float(ld1["total"]), float(ld2["total"]),
+        rtol=LOSS_RTOL[partition],
     )
-    _assert_grads_match(g1, a1, g2, a2, GRAD_RTOL[renderer])
+    tol = (GRAD_RTOL if partition == "uniform" else ADAPT_GRAD_RTOL)
+    _assert_grads_match(g1, a1, g2, a2, tol[renderer])
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
@@ -130,9 +151,11 @@ def test_sharded_step_matches_single_device(renderer):
     """Full-step plumbing (Adam update + densify statistics) on the
     stripe-sharded path. Gradient equality is asserted rigorously above;
     this covers the update/stats wiring, so tolerances absorb Adam's
-    first-step amplification of fp noise."""
+    first-step amplification of fp noise. Runs the uniform partition —
+    adaptive-partition gradient equality is asserted (with its
+    reassociation band) in the grad tests above."""
     n_dev = 4
-    cfg = _cfg(renderer)
+    cfg = _cfg(renderer, "uniform")
     render_fn = get_render_fn(cfg)
     model, adam, w2c, K, image, mask = _setup()
 
@@ -182,7 +205,7 @@ def test_gauss_sharded_step_matches_single_device(renderer):
     """Full-step plumbing on the ZeRO path: sharded Adam moments and
     sharded densify statistics match the monolithic step."""
     n_dev = 4
-    cfg = _cfg(renderer)
+    cfg = _cfg(renderer, "uniform")
     render_fn = get_render_fn(cfg)
     model, adam, w2c, K, image, mask = _setup()
 
@@ -228,20 +251,22 @@ def test_gauss_sharded_step_matches_single_device(renderer):
         assert "isects" in ld2 and float(ld2["isects"]) > 0
 
 
-def test_striped_isect_counter_matches_step_channel():
+@pytest.mark.parametrize("partition", ["uniform", "adaptive"])
+def test_striped_isect_counter_matches_step_channel(partition):
     """The mesh-aware autotune counter must agree with the per-chip
-    intersection counts the sharded tiled step reports."""
+    intersection counts the sharded tiled step reports (under the same
+    stripe partition)."""
     from easy_gaussian_splatting_tpu.parallel.shard import (
         make_striped_isect_counter,
     )
 
-    cfg = _cfg("tiled")
+    cfg = _cfg("tiled", partition)
     render_fn = get_render_fn(cfg)
     model, _, w2c, K, image, mask = _setup()
     mesh = make_mesh(4)
     counts = make_striped_isect_counter(
         mesh, cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
-        ov_frac=cfg.ov_frac,
+        ov_frac=cfg.ov_frac, partition=partition,
     )(model.params, model.alive, w2c, K, height=H, width=W)
     n_max = int(np.asarray(counts)[0])
 
@@ -256,7 +281,7 @@ def test_striped_isect_counter_matches_step_channel():
     per_chip = np.asarray(
         make_striped_isect_counter(
             mesh, cfg.tile_size, cfg.max_tiles, cfg.max_tiles,
-            ov_frac=cfg.ov_frac, reduce="none",
+            ov_frac=cfg.ov_frac, reduce="none", partition=partition,
         )(model.params, model.alive, w2c, K, height=H, width=W)
     )
     assert per_chip.shape[0] == 4
