@@ -111,12 +111,17 @@ def se3_exp(xi: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------- camera state
 class CameraState:
     def __init__(
-        self, w2c: np.ndarray, K: np.ndarray, width: int, height: int
+        self, w2c: np.ndarray, K: np.ndarray, width: int, height: int,
+        sh_cap: int | None = None,
     ) -> None:
         self.w2c = w2c  # OpenCV convention (X right, Y down, Z forward)
         self.K = K
         self.width = width
         self.height = height
+        # interactive-degradation hint: cap the evaluated SH degree for
+        # this frame (the viewer drops view-dependence while the camera
+        # moves; None = full fidelity)
+        self.sh_cap = sh_cap
 
     def fov(self) -> Tuple[float, float]:
         return (
@@ -131,7 +136,8 @@ class CameraState:
 
     def copy(self) -> "CameraState":
         return CameraState(
-            self.w2c.copy(), self.K.copy(), self.width, self.height
+            self.w2c.copy(), self.K.copy(), self.width, self.height,
+            self.sh_cap,
         )
 
 

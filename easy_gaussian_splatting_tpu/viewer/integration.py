@@ -75,10 +75,17 @@ def make_gs_render_func(get_state, get_sh_degree, background, render_fn):
 
     def gs_render_func(camera_state: CameraState) -> np.ndarray:
         state = get_state()
+        sh = int(get_sh_degree())
+        cap = getattr(camera_state, "sh_cap", None)
+        if cap is not None:
+            # interactive degradation: the client caps the SH degree
+            # while the camera moves (a large share of per-frame compute
+            # at 1M+ Gaussians is degree-3 SH evaluation)
+            sh = min(sh, int(cap))
         run = _jitted(
             int(camera_state.width),
             int(camera_state.height),
-            int(get_sh_degree()),
+            sh,
         )
         img = run(
             state.params,

@@ -97,34 +97,47 @@ function rec(a){const v=view();
  v.fps=parseFloat(document.getElementById('fps').value)||30;
  fetch('/record/'+a,{method:'POST',body:JSON.stringify(v)})
  .then(r=>r.json()).then(j=>st.textContent=j.status);}
-let drag=null;
-img.onmousedown=e=>{drag={x:e.clientX,y:e.clientY,shift:e.shiftKey};};
+let drag=null,lastMove=0,rung=1,ema=0;
+function touch(){lastMove=performance.now();}
+img.onmousedown=e=>{drag={x:e.clientX,y:e.clientY,shift:e.shiftKey};touch();};
 window.onmouseup=()=>drag=null;
-window.onmousemove=e=>{if(!drag)return;
+window.onmousemove=e=>{if(!drag)return;touch();
  const dx=e.clientX-drag.x,dy=e.clientY-drag.y;drag.x=e.clientX;drag.y=e.clientY;
  if(drag.shift){const s=radius*0.002;
   target[0]-=s*(dx*Math.cos(yaw));target[1]+=s*dy;target[2]+=s*(dx*Math.sin(yaw));}
  else{yaw-=dx*0.005;pitch=Math.max(-1.5,Math.min(1.5,pitch+dy*0.005));}};
-window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001);};
+window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001);touch();};
+function interacting(){return anim||drag||performance.now()-lastMove<350;}
 function view(){
  const ar=window.innerWidth/window.innerHeight;
  const cw=parseInt(document.getElementById('cw').value);
  const ch=parseInt(document.getElementById('ch').value);
- const h=parseInt(document.getElementById('res').value);
+ let h=parseInt(document.getElementById('res').value);
  const v={yaw,pitch,roll,radius,target,
   fov:parseFloat(document.getElementById('fov').value)};
  if(cw>0&&ch>0){ // explicit camera size: server pads to window aspect
   v.width=cw;v.height=ch;v.pad_aspect=ar;}
- else{v.width=Math.round(h*ar);v.height=h;}
+ else{
+  // interaction degradation: drop to a resolution rung (fixed ladder so
+  // each size jit-compiles once) + cap SH view-dependence while moving;
+  // one full-fidelity frame renders when the camera settles
+  if(interacting()&&rung>1){h=Math.max(180,Math.round(h/rung));v.sh_cap=1;}
+  // quantize width so window resizes don't mint new jit signatures
+  v.width=Math.max(64,Math.round(h*ar/64)*64);v.height=h;}
  return v;}
 async function loop(){
  if(anim)anim();
- if(!busy){busy=true;
+ if(!busy){busy=true;const wasInt=interacting(),t0=performance.now();
   try{const r=await fetch('/render',{method:'POST',body:JSON.stringify(view())});
    const b=await r.blob();img.src=URL.createObjectURL(b);}catch(e){}
+  const dt=performance.now()-t0;
+  if(wasInt){ // steer the rung toward ~80 ms/frame during interaction
+   ema=ema?0.7*ema+0.3*dt:dt;
+   if(ema>140&&rung<8){rung*=2;ema=0;}
+   else if(ema<35&&rung>1){rung/=2;ema=0;}}
   busy=false;}
- setTimeout(loop,anim?33:66);}
-loop();
+ setTimeout(loop,(anim||drag)?16:66);}
+rung=2;loop();
 </script></body></html>"""
 
 
@@ -159,7 +172,11 @@ def _orbit_to_camera(p: dict) -> CameraState:
     K = np.array(
         [[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float64
     )
-    return CameraState(w2c, K, width, height)
+    sh_cap = p.get("sh_cap")
+    return CameraState(
+        w2c, K, width, height,
+        sh_cap=None if sh_cap is None else int(sh_cap),
+    )
 
 
 def pad_to_aspect(image: np.ndarray, aspect: float) -> np.ndarray:

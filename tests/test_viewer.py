@@ -143,6 +143,33 @@ class TestServer:
         finally:
             viewer.stop()
 
+    def test_render_sh_cap_reaches_render_func(self):
+        """Interaction degradation: the client's sh_cap payload must
+        arrive on the CameraState the render closure sees (the closure
+        caps the evaluated SH degree with it while the camera moves)."""
+        seen = []
+
+        def render(cam):
+            seen.append(getattr(cam, "sh_cap", "missing"))
+            return np.zeros((cam.height, cam.width, 3), np.float32)
+
+        viewer = Viewer(render, [_cam([0, 0, 3])], port=19983)
+        try:
+            for payload in (
+                dict(yaw=0.0, pitch=0.0, radius=4, target=[0, 0, 0],
+                     width=64, height=48, sh_cap=1),
+                dict(yaw=0.0, pitch=0.0, radius=4, target=[0, 0, 0],
+                     width=64, height=48),
+            ):
+                req = urllib.request.Request(
+                    "http://localhost:19983/render",
+                    data=json.dumps(payload).encode(), method="POST",
+                )
+                urllib.request.urlopen(req, timeout=10).read()
+            assert seen == [1, None]
+        finally:
+            viewer.stop()
+
     def test_orbit_camera_looks_at_target(self):
         cam = _orbit_to_camera(
             dict(yaw=0.7, pitch=0.3, radius=5, target=[1, 2, 3],
