@@ -50,6 +50,7 @@ def tiny_scene(tmp_path_factory):
     return root, data
 
 
+@pytest.mark.slow
 def test_train_and_eval_cli(tiny_scene):
     root, data = tiny_scene
     cfg = {

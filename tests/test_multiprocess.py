@@ -121,6 +121,7 @@ def _single_process_reference(mode: str):
 @pytest.mark.parametrize(
     "mode,devices_per_proc", [("tiles", 1), ("gauss2d", 2)]
 )
+@pytest.mark.slow
 def test_two_process_step_matches_single_process(mode, devices_per_proc):
     results = _run_workers(mode, devices_per_proc)
     ref = _single_process_reference(mode)
@@ -139,6 +140,7 @@ def test_two_process_step_matches_single_process(mode, devices_per_proc):
     assert results[0]["means_sum"] == results[1]["means_sum"]
 
 
+@pytest.mark.slow
 def test_mesh2d_gauss_step_matches_single_device():
     """2-D (gauss, tiles) mesh == monolithic step, single process."""
     from easy_gaussian_splatting_tpu.models.gaussians import (

@@ -304,12 +304,14 @@ def test_isect_capacity_clamps():
     assert (ISECT_ROW_LIMIT + 512) * GRAD_ROW_BYTES <= 2**31
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_train_loop_gauss_mesh(tmp_path):
     """Full train() smoke on a gauss:4 mesh with the TILED renderer,
     exercising the sharded step, the mesh-aware autotune/watchdog,
@@ -353,6 +355,7 @@ def test_train_loop_gauss_mesh(tmp_path):
     assert int(loop.model.num_alive()) > 0
 
 
+@pytest.mark.slow
 def test_train_loop_tiles_mesh(tmp_path):
     """Full train() smoke on a tiles:4 mesh with the tiled renderer."""
     import random
@@ -447,6 +450,7 @@ def _sorted_rows(x):
     return x[np.lexsort(x.T[::-1])]
 
 
+@pytest.mark.slow
 def test_sharded_densify_matches_single_device():
     """Shard-local densify == single-device engine up to slot placement
     and split-sample RNG: identical info counts, identical alive-row
@@ -547,6 +551,7 @@ def test_device_cache_stripe_padding(tmp_path):
     np.testing.assert_array_equal(msk[30:], 1.0)
 
 
+@pytest.mark.slow
 def test_train_loop_mesh_with_padded_device_cache(tmp_path):
     """Sharded train() smoke with the stripe-padded device cache active
     (image height NOT divisible by the mesh) — frames are device-resident

@@ -345,6 +345,7 @@ class TestTiledBackward:
 
 
 class TestDeadSlots:
+    @pytest.mark.slow
     def test_zero_opacity_not_binned(self, rng):
         """Dead capacity slots project as unit-scale blobs with big radii
         and zero opacity; they must not consume intersection capacity
@@ -393,6 +394,7 @@ class TestEllipseTileTest:
     only drop duplicates whose tile contains no eligible pixel center —
     output-exact vs the rectangle-only binning."""
 
+    @pytest.mark.slow
     def test_prunes_only_ineligible_tiles(self, rng):
         from easy_gaussian_splatting_tpu.ops.rasterize_ref import ALPHA_THRESH
         from easy_gaussian_splatting_tpu.ops.rasterize_tiled import (
@@ -520,6 +522,7 @@ def test_unpackable_sort_fallback_matches_packed():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("force_unpackable", [False, True])
 def test_binkeys_kernel_matches_xla_grid(force_unpackable):
     """The Pallas binkeys path must reproduce the XLA duplicate-grid

@@ -101,6 +101,7 @@ class TestTrainStep:
 
 
 class TestFullTraining:
+    @pytest.mark.slow
     def test_train_smoke(self, tmp_path):
         write_blender_scene(tmp_path / "scene", n_train=3, n_test=2, size=24)
         out = tmp_path / "out"
@@ -195,6 +196,7 @@ def test_step_precompiler_warms_next_capacity():
     pre.shutdown()
 
 
+@pytest.mark.slow
 def test_batched_step_matches_sequential_grads():
     """make_batched_train_step == mean of per-view gradients + B
     sequential update_statistics applications + one Adam update."""
