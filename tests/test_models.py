@@ -450,6 +450,19 @@ class TestDensity:
 
 
 class TestCompaction:
+    def test_compact_for_inference_shrinks_to_ladder(self):
+        from easy_gaussian_splatting_tpu.models.gaussians import (
+            _round_up_capacity,
+            compact_for_inference,
+        )
+
+        st = _manual_state(n=8, cap=4096)
+        out = compact_for_inference(st)
+        assert out.capacity == _round_up_capacity(8) == 1024
+        assert int(out.num_alive()) == 8
+        # already minimal: no-op (same object)
+        assert compact_for_inference(out) is out
+
     def test_compact_preserves_render_and_adam_alignment(self):
         from easy_gaussian_splatting_tpu.models.gaussians import (
             compact_capacity,
