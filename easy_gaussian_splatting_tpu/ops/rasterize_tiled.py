@@ -41,15 +41,18 @@ import jax.numpy as jnp
 from .projection import CameraIntrinsics, project_gaussians
 
 # Backward per-Gaussian gradient reduction strategy (A/B via env):
-#   "scan" (DEFAULT at every scale): flat-sort + permutation gather +
-#     XLA segmented reduction over the COMPACT intersection capacity
-#     (~1.3x the live intersection count).
-#   "band": flat-sort + permutation gather + one-pass Pallas band
-#     segsum (pallas/segments.py::segsum_band): per-block MXU matmul
-#     with a 128-row lookahead replaces the XLA log-step scan's
+#   "band" (DEFAULT): flat-sort + permutation gather + one-pass Pallas
+#     band segsum (pallas/segments.py::segsum_band): per-block MXU
+#     matmul with a 128-row lookahead replaces the XLA log-step scan's
 #     ceil(log2 m) full-array add passes + materialized shifted slices.
 #     Parallel pipelined grid — none of the serial-RMW pattern that
-#     sank the "pallas" strategy.
+#     sank the "pallas" strategy. Measured on-chip (round 5, bench.py):
+#     1M 162.4 -> 132.2 ms/step, 3M 471.2 -> 396.0, 100k neutral
+#     (28.9 both — the wide-row gather offsets the scan saving at
+#     small icap). Falls back to "scan" when max_tiles^2 > 128.
+#   "scan": flat-sort + permutation gather + XLA segmented reduction
+#     over the COMPACT intersection capacity (~1.3x the live
+#     intersection count).
 #   "pallas" (EXPERIMENTAL — loses in context): flat-sort + permutation
 #     gather + streaming Pallas segment-sum-with-compaction +
 #     monotone-expand kernels (ops/pallas/segments.py). Correct on chip
@@ -66,7 +69,7 @@ from .projection import CameraIntrinsics, project_gaussians
 #     sort domain, 6.5M there) is ~2.5x the intersection capacity, and
 #     every dense-path gather/reduce scales with D. Kept switchable for
 #     regimes where D ~ icap (large small_budget occupancy).
-BWD_REDUCE = os.environ.get("EGS_TPU_BWD_REDUCE", "scan")
+BWD_REDUCE = os.environ.get("EGS_TPU_BWD_REDUCE", "band")
 
 DEFAULT_TILE = 32
 DEFAULT_MAX_TILES_W = 4
