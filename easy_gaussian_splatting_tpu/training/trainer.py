@@ -75,6 +75,66 @@ def get_render_fn(cfg: Config) -> Callable:
     return functools.partial(render, chunk=cfg.raster_chunk)
 
 
+def tune_inference_cfg(
+    cfg: Config, state, w2c, K, height: int, width: int,
+    margin: float = 1.5,
+) -> Config:
+    """Right-size the binning parameters for a LOADED checkpoint.
+
+    The run dir's ``config.yaml`` is dumped at STARTUP, so a reloaded
+    config carries the pre-autotune defaults (isect_mult 3.0,
+    small_budget 9, ov_frac 0.125). At an end-of-training population
+    those are wildly oversized — measured on the round-5 1.62M-Gaussian
+    checkpoint: the default sort domain is ~23M entries vs ~6M tuned,
+    ~400 ms of resolution-independent per-frame cost in the viewer.
+    Mirrors the trainer's startup autotune from one probe render at the
+    given camera; ``margin`` (1.5) covers camera-to-camera variance
+    since inference paths have no growth watchdog (overcounts only cost
+    memory; undercounts cost silently truncated tiles)."""
+    if cfg.renderer != "tiled":
+        return cfg
+    import numpy as np
+
+    from ..ops.rasterize_tiled import (
+        BUDGET_CANDIDATES,
+        _ov_capacity,
+        make_isect_counter,
+        max_isect_cap,
+    )
+
+    counter = make_isect_counter(
+        cfg.tile_size, cfg.max_tiles, cfg.max_tiles
+    )
+    vals = np.asarray(
+        counter(
+            state.params, state.alive,
+            jnp.asarray(w2c, jnp.float32), jnp.asarray(K, jnp.float32),
+            height=height, width=width,
+        )
+    )
+    cap = state.capacity
+    n = int(vals[0])
+    max_mult = max_isect_cap(cfg.isect_hbm_budget_mb) / max(cap, 1)
+    cfg.isect_mult = (
+        math.floor(min(max(0.25, n * margin / cap), max_mult) * 1e3) / 1e3
+    )
+    m_cells = cfg.max_tiles * cfg.max_tiles
+    best_dom = None
+    for bb, need in zip(BUDGET_CANDIDATES, vals[2:]):
+        if bb >= m_cells:
+            continue
+        ovf = round(max(0.01, min(1.0, int(need) * 2.0 / cap)), 3)
+        dom = cap * bb + m_cells * _ov_capacity(cap, ovf)
+        if best_dom is None or dom < best_dom:
+            cfg.small_budget, cfg.ov_frac, best_dom = bb, ovf, dom
+    logger.info(
+        f"inference binning autotune: {n} isects at capacity {cap} -> "
+        f"isect_mult {cfg.isect_mult}, small_budget {cfg.small_budget}, "
+        f"ov_frac {cfg.ov_frac}"
+    )
+    return cfg
+
+
 def make_train_step(cfg: Config, render_fn: Callable):
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32

@@ -43,14 +43,24 @@ def load_camera_states(path: Path) -> List[CameraState]:
     return camera_states
 
 
-def make_gs_render_func(get_state, get_sh_degree, background, render_fn):
+def make_gs_render_func(get_state, get_sh_degree, background, render_fn,
+                        cfg=None, base_pixels=None):
     """Render closure over (possibly training) model state. ``get_state`` /
     ``get_sh_degree`` are callables so the training loop's latest state is
     picked up (the reference reads the live module the same way).
 
     The render is jitted per (width, height, sh_degree, capacity) —
     running the render graph eagerly would dispatch hundreds of ops
-    one-by-one over a remote-device link (~1 RTT each)."""
+    one-by-one over a remote-device link (~1 RTT each).
+
+    With ``cfg`` + ``base_pixels`` (the offline viewer path), the
+    intersection capacity is RE-SCALED per resolution: intersection
+    counts scale ~linearly with pixels, and the per-icap costs (feature
+    pack gather, kernel chunk walk) are paid at the STATIC capacity —
+    without scaling, a 180p interaction frame carries the full-res
+    buffers (measured ~25 ms of dead per-frame cost at a 2.1M-Gaussian
+    checkpoint). 1.5x headroom over the linear estimate; undercounts
+    cost only truncated tiles in a moving preview frame."""
     import functools
 
     import jax
@@ -60,9 +70,25 @@ def make_gs_render_func(get_state, get_sh_degree, background, render_fn):
 
     @functools.lru_cache(maxsize=8)
     def _jitted(width: int, height: int, sh_degree: int):
+        rf = render_fn
+        if (
+            cfg is not None
+            and base_pixels
+            and getattr(cfg, "renderer", "") == "tiled"
+        ):
+            import dataclasses
+
+            from ..training.trainer import get_render_fn
+
+            scale = min(1.0, width * height / base_pixels * 1.5 + 0.05)
+            c2 = dataclasses.replace(
+                cfg, isect_mult=max(0.25, cfg.isect_mult * scale)
+            )
+            rf = get_render_fn(c2)
+
         @jax.jit
         def run(params, alive, w2c, K, absd):
-            return render_fn(
+            return rf(
                 params,
                 alive,
                 CameraView(w2c=w2c, K=K, width=width, height=height),

@@ -65,6 +65,18 @@ def eval(training_output_path: str, iterations: Optional[int] = None):
     # evaluate each train image once
     scene.train_indexes = list(set(scene.train_indexes))
 
+    # the dumped config carries pre-autotune binning defaults; right-size
+    # them for this checkpoint from one probe frame (see trainer docs)
+    from easy_gaussian_splatting_tpu.training.trainer import (
+        tune_inference_cfg,
+    )
+
+    split0 = "eval" if scene.nbr_data("eval") > 0 else "train"
+    d0 = scene.get_data(split0, 0)
+    cfg = tune_inference_cfg(
+        cfg, state, d0["w2c"], d0["K"], d0["height"], d0["width"]
+    )
+
     evaluator = Evaluator(cfg.eval_render_num, get_render_fn(cfg))
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32

@@ -52,11 +52,28 @@ def main():
 
     state = compact_for_inference(state)
     camera_states = load_camera_states(path)
+    if camera_states:
+        # the dumped config carries pre-autotune binning defaults;
+        # right-size them for this checkpoint (see trainer docs)
+        from easy_gaussian_splatting_tpu.training.trainer import (
+            tune_inference_cfg,
+        )
+
+        c0 = camera_states[0]
+        cfg = tune_inference_cfg(
+            cfg, state, c0.w2c, c0.K, int(c0.height), int(c0.width)
+        )
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
     )
+    base_px = (
+        int(camera_states[0].width) * int(camera_states[0].height)
+        if camera_states
+        else None
+    )
     render_func = make_gs_render_func(
-        lambda: state, lambda: sh_degree, background, get_render_fn(cfg)
+        lambda: state, lambda: sh_degree, background, get_render_fn(cfg),
+        cfg=cfg, base_pixels=base_px,
     )
     Viewer(
         render_func,

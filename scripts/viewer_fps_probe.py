@@ -58,14 +58,24 @@ def main():
         f"{n_alive} alive, capacity {cap0} -> {state.capacity} "
         f"(compact_for_inference)"
     )
+    from easy_gaussian_splatting_tpu.training.trainer import (
+        tune_inference_cfg,
+    )
+
+    cams = load_camera_states(path)
+    c0 = cams[0]
+    cfg = tune_inference_cfg(
+        cfg, state, c0.w2c, c0.K, int(c0.height), int(c0.width)
+    )
     background = jnp.full(
         (3,), 1.0 if cfg.white_background else 0.0, jnp.float32
     )
     render_func = make_gs_render_func(
-        lambda: state, lambda: sh_degree, background, get_render_fn(cfg)
+        lambda: state, lambda: sh_degree, background, get_render_fn(cfg),
+        cfg=cfg, base_pixels=int(c0.width) * int(c0.height),
     )
     viewer = Viewer(
-        render_func, load_camera_states(path), port=args.port,
+        render_func, cams, port=args.port,
         video_output_dir=Path("/tmp/viewer_probe_videos"),
     )
     try:
